@@ -1,0 +1,313 @@
+"""Wavefront integrators: random walk, simple path (NEE), direct lighting.
+
+This is the layer the reference only *sketched* (``RayTracer/Integrator.h:
+4-12`` names RandomWalk/SimplePath/Path as intent; the only implemented
+estimator is the inline direct-lighting ``Li`` lambda of
+``RayTracerTestApp.h:218-284``). TPU-first design (SURVEY §7 stance #1):
+
+- rays live as SoA wavefronts ``(N, 3)``; one ``lax.scan`` over bounce depth
+  replaces recursion; alive masks replace early returns;
+- every random decision is a pure function of ``(seed, pixel, sample, dim)``
+  via the counter-based samplers (placement-invariant determinism, §3.4);
+- radiance/throughput carry the 8-wavelength hero axis;
+- sampling decisions are detached (`stop_gradient`) while radiance stays
+  differentiable w.r.t. scene parameters — reparameterized gradients.
+
+The per-sample pipeline (``evaluate_pixel``, RayTracerTestApp.h:287-345) is
+``render_pass``: λ sample → filter-importance pixel offset → camera ray →
+Li → sensor RGB → weighted film accumulation, for every pixel at once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from computational_ray_tracer_tpu.ops import rng
+from computational_ray_tracer_tpu.ops import spectrum as spec
+from computational_ray_tracer_tpu.ops import filters as flt
+from computational_ray_tracer_tpu.ops import sensor as sen
+from computational_ray_tracer_tpu.ops import film as filmmod
+from computational_ray_tracer_tpu.models import materials as mat
+from computational_ray_tracer_tpu.models import lights as lgt
+from computational_ray_tracer_tpu.models.scene import (scene_intersect,
+                                                       scene_occluded,
+                                                       texture_lookup)
+
+# Sample-dimension allocation per (pixel, sample): mirrors the dimension
+# ordering discipline of evaluate_pixel (λ, filter, lens, then per-bounce).
+DIM_LAMBDA = 0
+DIM_FILTER = 1      # 2D
+DIM_LENS = 3        # 2D
+DIM_BOUNCE0 = 5
+DIMS_PER_BOUNCE = 8  # bsdf 2D + bsdf 1D + light select + light pos 2D + rr
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplerConfig:
+    """Which pixel sampler supplies the u's (samplers.h tiers)."""
+    kind: str = "independent"   # independent | stratified | sobol
+    spp: int = 16
+    xs: int = 4                 # stratified grid (xs*ys == spp)
+    ys: int = 4
+    seed: int = 0
+    jitter: bool = True
+
+    def get_1d(self, pixel, sample_idx, dim):
+        if self.kind == "stratified":
+            return rng.stratified_1d(self.seed, pixel, sample_idx, dim,
+                                     self.spp, self.jitter)
+        if self.kind == "sobol":
+            return rng.sobol_owen_1d(self.seed, pixel, sample_idx, dim,
+                                     spp=self.spp)
+        return rng.independent_1d(self.seed, pixel, sample_idx, dim)
+
+    def get_2d(self, pixel, sample_idx, dim):
+        if self.kind == "stratified":
+            return rng.stratified_2d(self.seed, pixel, sample_idx, dim,
+                                     self.xs, self.ys, self.jitter)
+        if self.kind == "sobol":
+            return rng.sobol_owen_2d(self.seed, pixel, sample_idx, dim,
+                                     spp=self.spp)
+        return rng.independent_2d(self.seed, pixel, sample_idx, dim)
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    resolution: tuple = (256, 256)          # (W, H)
+    sampler: SamplerConfig = SamplerConfig()
+    integrator: str = "path"                # path | simple | direct | walk
+    max_depth: int = 5
+    rr_start: int = 3                       # Russian roulette from this depth
+    lambda_mode: str = "visible"            # visible | uniform
+    filter_name: str = "gaussian"
+    filter_radius: tuple = (0.5, 0.5)
+    sensor_name: Any = None                 # None = XYZ sensor
+    clamp: float = 0.0                      # 0 = no firefly clamp
+    ray_eps: float = 1e-3
+
+
+def _sample_wavelengths(cfg, u):
+    if cfg.lambda_mode == "uniform":
+        return spec.sample_uniform_wavelengths(u)
+    return spec.sample_visible_wavelengths(u)
+
+
+def _tex_coeffs(scene, si):
+    if scene.texture is None:
+        return None
+    return texture_lookup(scene.texture, si.uv)
+
+
+# ---------------------------------------------------------------------------
+# Radiance estimators
+# ---------------------------------------------------------------------------
+
+def li_direct(scene, o, d, wl, pixel, sample_idx, cfg):
+    """Single-bounce direct lighting — the reference's implemented Li
+    (RayTracerTestApp.h:218-284): hit → emission + Σ_sampled-light
+    f·Li·cos/pdf with a shadow ray."""
+    t_max = jnp.full(o.shape[:-1], jnp.inf)
+    si, mid, _ = scene_intersect(scene, o, d, t_max)
+    mrow = jax.tree_util.tree_map(lambda x: x[mid], scene.materials)
+    L = jnp.where(si.valid[..., None],
+                  mat.material_emission(mrow, wl.lam), 0.0)
+
+    s = cfg.sampler
+    u_sel = s.get_1d(pixel, sample_idx, DIM_BOUNCE0)
+    u_pos = s.get_2d(pixel, sample_idx, DIM_BOUNCE0 + 1)
+    wr = scene.world_radius()
+    wi, dist, li_val, pdf, _ = lgt.sample_light(scene.lights, si.p, si.n,
+                                                wl.lam, u_sel, u_pos, wr)
+    f, _ = mat.bsdf_eval(mrow, si.n, si.wo, wi, wl.lam, _tex_coeffs(scene, si))
+    cos_i = jnp.maximum(jnp.sum(wi * si.n, axis=-1), 0.0)
+    occluded = scene_occluded(scene, si.p, wi, dist, cfg.ray_eps)
+    contrib = f * li_val * (cos_i / jnp.maximum(pdf, 1e-12))[..., None]
+    contrib = jnp.where((si.valid & ~occluded)[..., None], contrib, 0.0)
+    return L + contrib
+
+
+def _path_scan(scene, o, d, wl, pixel, sample_idx, cfg, use_nee):
+    """Shared wavefront loop for random-walk (use_nee=False) and
+    NEE path tracing (use_nee=True)."""
+    s = cfg.sampler
+    n_shape = o.shape[:-1]
+    S = wl.lam.shape[-1]
+
+    init = dict(
+        o=o, d=d,
+        beta=jnp.ones(n_shape + (S,)),
+        L=jnp.zeros(n_shape + (S,)),
+        alive=jnp.ones(n_shape, bool),
+        specular=jnp.ones(n_shape, bool),   # last bounce was camera/specular
+        lam_pdf=wl.pdf,
+    )
+
+    def bounce(state, depth):
+        o, d = state["o"], state["d"]
+        alive = state["alive"]
+        beta = state["beta"]
+        L = state["L"]
+        wl_cur = spec.SampledWavelengths(wl.lam, state["lam_pdf"])
+
+        t_max = jnp.where(alive, jnp.inf, -1.0)
+        si, mid, _ = scene_intersect(scene, o, d, t_max)
+        hit = si.valid & alive
+        mrow = jax.tree_util.tree_map(lambda x: x[mid], scene.materials)
+        tex = _tex_coeffs(scene, si)
+
+        # Emitted radiance: counted on camera/specular prefixes always;
+        # after a diffuse bounce only when NEE is off (avoids double count).
+        emit = mat.material_emission(mrow, wl_cur.lam)
+        count_emit = hit & (state["specular"] | (not use_nee))
+        L = L + jnp.where(count_emit[..., None], beta * emit, 0.0)
+
+        dim0 = DIM_BOUNCE0 + depth * DIMS_PER_BOUNCE
+
+        # --- next-event estimation
+        if use_nee:
+            u_sel = s.get_1d(pixel, sample_idx, dim0 + 3)
+            u_pos = s.get_2d(pixel, sample_idx, dim0 + 4)
+            wr = scene.world_radius()
+            wi_l, dist, li_val, pdf_l, _ = lgt.sample_light(
+                scene.lights, si.p, si.n, wl_cur.lam, u_sel, u_pos, wr)
+            f, _ = mat.bsdf_eval(mrow, si.n, si.wo, wi_l, wl_cur.lam, tex)
+            cos_l = jnp.maximum(jnp.sum(wi_l * si.n, axis=-1), 0.0)
+            occ = scene_occluded(scene, si.p, wi_l, dist, cfg.ray_eps)
+            nee = beta * f * li_val * (cos_l / jnp.maximum(pdf_l, 1e-12))[..., None]
+            L = L + jnp.where((hit & ~occ)[..., None], nee, 0.0)
+
+        # --- BSDF sampling, continuation
+        u2 = s.get_2d(pixel, sample_idx, dim0)
+        u1 = s.get_1d(pixel, sample_idx, dim0 + 2)
+        wi, w_bsdf, _, is_spec, term_2nd = mat.bsdf_sample(
+            mrow, si.n, si.wo, jax.lax.stop_gradient(u2),
+            jax.lax.stop_gradient(u1), wl_cur.lam, tex_rgb_coeffs=tex)
+        beta_new = beta * w_bsdf
+        # Dispersion: collapse secondary wavelengths at dielectric bounces
+        lam_pdf = state["lam_pdf"]
+        collapse = hit & term_2nd & ~wl_cur.secondary_terminated()
+        new_pdf = jnp.concatenate([lam_pdf[..., :1] / S,
+                                   jnp.zeros_like(lam_pdf[..., 1:])], axis=-1)
+        lam_pdf = jnp.where(collapse[..., None], new_pdf, lam_pdf)
+        beta_new = jnp.where(
+            collapse[..., None],
+            jnp.concatenate([beta_new[..., :1],
+                             jnp.zeros_like(beta_new[..., 1:])], axis=-1),
+            beta_new)
+
+        # --- Russian roulette (detached)
+        max_beta = jnp.max(jax.lax.stop_gradient(beta_new), axis=-1)
+        u_rr = s.get_1d(pixel, sample_idx, dim0 + 6)
+        q = jnp.clip(max_beta, 0.05, 1.0)
+        do_rr = depth >= cfg.rr_start
+        survive = jnp.where(do_rr, u_rr < q, True)
+        beta_new = jnp.where(do_rr, beta_new / q[..., None], beta_new)
+
+        alive_new = hit & survive & (max_beta > 0.0)
+        o_new = si.p + wi * cfg.ray_eps
+        state = dict(
+            o=jnp.where(hit[..., None], o_new, o),
+            d=jnp.where(hit[..., None], wi, d),
+            beta=jnp.where(alive_new[..., None], beta_new, 0.0),
+            L=L,
+            alive=alive_new,
+            specular=jnp.where(hit, is_spec, state["specular"]),
+            lam_pdf=lam_pdf)
+        return state, None
+
+    state = init
+    for depth in range(cfg.max_depth):
+        state, _ = bounce(state, depth)
+    return state["L"], spec.SampledWavelengths(wl.lam, state["lam_pdf"])
+
+
+def li_path(scene, o, d, wl, pixel, sample_idx, cfg):
+    """SimplePath-class estimator: NEE at every diffuse vertex, emission on
+    specular/camera prefixes, RR termination (the Integrator.h intent)."""
+    return _path_scan(scene, o, d, wl, pixel, sample_idx, cfg, use_nee=True)
+
+
+def li_random_walk(scene, o, d, wl, pixel, sample_idx, cfg):
+    """RandomWalk: BSDF sampling only, lights found by hitting them."""
+    return _path_scan(scene, o, d, wl, pixel, sample_idx, cfg, use_nee=False)
+
+
+# ---------------------------------------------------------------------------
+# The per-sample pixel pipeline + progressive render driver
+# ---------------------------------------------------------------------------
+
+def make_filter(cfg: RenderConfig):
+    return flt.FILTERS[cfg.filter_name](cfg.filter_radius)
+
+
+def make_sensor(cfg: RenderConfig):
+    return sen.PixelSensor.create(cfg.sensor_name)
+
+
+def render_pass(scene, camera, cfg: RenderConfig, filter_obj, sensor,
+                sample_idx):
+    """One sample-per-pixel wavefront pass. Returns (rgb (H,W,3),
+    weight (H,W)) — ready for Film.add_aligned."""
+    w, h = cfg.resolution
+    s = cfg.sampler
+    pixel = jnp.arange(w * h, dtype=jnp.uint32)
+    px = (pixel % w).astype(jnp.float32)
+    py = (pixel // w).astype(jnp.float32)
+
+    u_lam = s.get_1d(pixel, sample_idx, DIM_LAMBDA)
+    wl = _sample_wavelengths(cfg, u_lam)
+
+    u_filt = s.get_2d(pixel, sample_idx, DIM_FILTER)
+    fp, fw = filter_obj.sample(u_filt)
+    pixel_pos = jnp.stack([px + 0.5, py + 0.5], axis=-1) + fp
+
+    u_lens = s.get_2d(pixel, sample_idx, DIM_LENS)
+    o, d = camera.generate_rays(pixel_pos, u_lens)
+
+    if cfg.integrator == "direct":
+        L = li_direct(scene, o, d, wl, pixel, sample_idx, cfg)
+        wl_out = wl
+    elif cfg.integrator == "walk":
+        L, wl_out = li_random_walk(scene, o, d, wl, pixel, sample_idx, cfg)
+    else:
+        L, wl_out = li_path(scene, o, d, wl, pixel, sample_idx, cfg)
+
+    rgb = sensor.to_sensor_rgb(L, wl_out)
+    if cfg.clamp > 0.0:
+        rgb = jnp.clip(rgb, 0.0, cfg.clamp)
+    else:
+        rgb = jnp.maximum(rgb, 0.0)
+    return rgb.reshape(h, w, 3), fw.reshape(h, w)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _jit_pass(scene, camera_arrays, cfg, sample_idx):
+    # camera objects are static dataclasses; closed over via cfg at call site
+    raise NotImplementedError  # placeholder; see render()
+
+
+def render(scene, camera, cfg: RenderConfig, film=None, progress=None):
+    """Progressive render: cfg.sampler.spp passes accumulated into a Film
+    (the MainLoop progressive accumulation, RayTracerTestApp.h:420-422)."""
+    filter_obj = make_filter(cfg)
+    sensor = make_sensor(cfg)
+    if film is None:
+        film = filmmod.Film.create(cfg.resolution)
+
+    @jax.jit
+    def one_pass(scene_, film_, sample_idx):
+        rgb, wt = render_pass(scene_, camera, cfg, filter_obj, sensor,
+                              sample_idx)
+        return film_.add_aligned(rgb, wt)
+
+    for i in range(int(film.spp_done), cfg.sampler.spp):
+        film = one_pass(scene, film, jnp.uint32(i))
+        if progress is not None:
+            progress(i, film)
+    return film, sensor

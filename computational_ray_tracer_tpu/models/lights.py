@@ -1,0 +1,174 @@
+"""Lights: point / distant / quad-area / ambient, with NEE sampling.
+
+The reference sketches lights as a design note only
+(``RayTracer/Lights.h:5-8``: point + sun with r² falloff) and uses an inline
+ambient + cosine "white light" in its integrator (``RayTracerTestApp.h:
+246-266``). This module implements the light layer TPU-first: an SoA table of
+all lights; ``sample_light`` draws one light per ray (uniform light pick +
+per-kind position sample) and returns direction, distance, spectral radiance
+and pdf — all branch-free selected, differentiable w.r.t. light parameters
+(emission scale is a leaf).
+
+Kinds: 0 = point (intensity / r²), 1 = distant/sun, 2 = quad area light
+(parallelogram, one-sided), 3 = ambient/constant environment.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from computational_ray_tracer_tpu.ops import spectrum as spec
+from computational_ray_tracer_tpu.ops import spectra_data as data
+from computational_ray_tracer_tpu.ops import color as colorlib
+
+POINT = 0
+DISTANT = 1
+AREA_QUAD = 2
+AMBIENT = 3
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class LightTable:
+    kind: jnp.ndarray       # (L,) int32
+    position: jnp.ndarray   # (L, 3) point position / quad corner
+    direction: jnp.ndarray  # (L, 3) distant dir (unit, pointing FROM light)
+    edge1: jnp.ndarray      # (L, 3) quad edges
+    edge2: jnp.ndarray      # (L, 3)
+    spd: jnp.ndarray        # (L, 471) dense spectral intensity/radiance
+    scale: jnp.ndarray      # (L,) differentiable emission scale
+
+    def tree_flatten(self):
+        return (self.kind, self.position, self.direction, self.edge1,
+                self.edge2, self.spd, self.scale), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def n_lights(self):
+        return self.kind.shape[0]
+
+    @classmethod
+    def build(cls, lights):
+        """lights: list of dicts. Common keys: kind, scale, and one of
+        spd_named (registry name), spd_dense, rgb (illuminant-shaped).
+        Point: position. Distant: direction. Quad: corner, edge1, edge2.
+        Ambient: nothing else."""
+        kind_map = {"point": POINT, "distant": DISTANT, "quad": AREA_QUAD,
+                    "ambient": AMBIENT}
+        n = len(lights)
+        kind = np.zeros(n, np.int32)
+        pos = np.zeros((n, 3), np.float32)
+        dirn = np.tile(np.asarray([[0.0, -1.0, 0.0]], np.float32), (n, 1))
+        e1 = np.zeros((n, 3), np.float32)
+        e2 = np.zeros((n, 3), np.float32)
+        spd = np.zeros((n, 471), np.float32)
+        scale = np.ones(n, np.float32)
+        for i, l in enumerate(lights):
+            kind[i] = kind_map[l["kind"]]
+            scale[i] = float(l.get("scale", 1.0))
+            if "spd_named" in l:
+                spd[i] = data.get_named_spectrum(l["spd_named"])
+            elif "spd_dense" in l:
+                spd[i] = np.asarray(l["spd_dense"], np.float32)
+            elif "rgb" in l:
+                e = colorlib.RGBIlluminantSpectrum.from_rgb(
+                    jnp.asarray(l["rgb"], jnp.float32))
+                spd[i] = np.asarray(e(jnp.asarray(data.DENSE_LAMBDA,
+                                                  jnp.float32)))
+            else:
+                spd[i] = data.ILLUM_E
+            if "position" in l:
+                pos[i] = np.asarray(l["position"], np.float32)
+            if "corner" in l:
+                pos[i] = np.asarray(l["corner"], np.float32)
+            if "direction" in l:
+                d = np.asarray(l["direction"], np.float64)
+                dirn[i] = (d / np.linalg.norm(d)).astype(np.float32)
+            if "edge1" in l:
+                e1[i] = np.asarray(l["edge1"], np.float32)
+                e2[i] = np.asarray(l["edge2"], np.float32)
+        return cls(jnp.asarray(kind), jnp.asarray(pos), jnp.asarray(dirn),
+                   jnp.asarray(e1), jnp.asarray(e2), jnp.asarray(spd),
+                   jnp.asarray(scale))
+
+
+def sample_light(table: LightTable, p, n, lam, u_light, u_pos,
+                 world_radius=100.0):
+    """Next-event sample toward one light per shading point.
+
+    p, n: (..., 3) shading position/normal. lam: (..., S). u_light: (...,)
+    uniform for light selection; u_pos: (..., 2) for position on the light.
+
+    Returns (wi, dist, Li (..., S), pdf, light_n_dot) where pdf is the full
+    solid-angle-measure pdf including the 1/n_lights selection factor, and Li
+    already folds the point-light 1/r² (Lights.h:5-8) and quad one-sidedness.
+    """
+    nl = table.n_lights
+    li = jnp.clip((jax.lax.stop_gradient(u_light) * nl).astype(jnp.int32),
+                  0, nl - 1)
+    kind = table.kind[li]
+    spd_at = spec.sample_dense(table.spd[li], lam) * table.scale[li][..., None]
+
+    # --- point
+    to_l = table.position[li] - p
+    dist2 = jnp.maximum(jnp.sum(to_l * to_l, axis=-1), 1e-12)
+    dist_point = jnp.sqrt(dist2)
+    wi_point = to_l / dist_point[..., None]
+    li_point = spd_at / dist2[..., None]
+
+    # --- distant (sun): radiance along -direction, "infinite" distance
+    wi_dist = -table.direction[li]
+    li_dist = spd_at
+
+    # --- quad area light: uniform point on parallelogram
+    qp = (table.position[li] + u_pos[..., 0:1] * table.edge1[li]
+          + u_pos[..., 1:2] * table.edge2[li])
+    qn = jnp.cross(table.edge1[li], table.edge2[li])
+    area = jnp.maximum(jnp.linalg.norm(qn, axis=-1), 1e-12)
+    qn = qn / area[..., None]
+    to_q = qp - p
+    dq2 = jnp.maximum(jnp.sum(to_q * to_q, axis=-1), 1e-12)
+    dq = jnp.sqrt(dq2)
+    wi_quad = to_q / dq[..., None]
+    cos_l = jnp.sum(-wi_quad * qn, axis=-1)  # one-sided: emit along +qn side
+    front = cos_l > 0
+    # area-measure -> solid-angle pdf
+    pdf_quad = dq2 / jnp.maximum(area * jnp.abs(cos_l), 1e-12)
+    li_quad = jnp.where(front[..., None], spd_at, 0.0)
+
+    # --- ambient: cosine-weighted environment
+    from computational_ray_tracer_tpu.ops import sampling as smp
+    from computational_ray_tracer_tpu.models.materials import (build_frame,
+                                                               to_world)
+    t_, b_ = build_frame(n)
+    wi_amb = to_world(t_, b_, n, smp.sample_cosine_hemisphere(u_pos))
+    pdf_amb = jnp.maximum(jnp.sum(wi_amb * n, axis=-1), 1e-9) / math.pi
+    li_amb = spd_at
+
+    def sel_vec(v0, v1, v2, v3):
+        kk = kind[..., None]
+        return jnp.where(kk == POINT, v0,
+                         jnp.where(kk == DISTANT, v1,
+                                   jnp.where(kk == AREA_QUAD, v2, v3)))
+
+    def sel_scalar(v0, v1, v2, v3):
+        return jnp.where(kind == POINT, v0,
+                         jnp.where(kind == DISTANT, v1,
+                                   jnp.where(kind == AREA_QUAD, v2, v3)))
+
+    wi = sel_vec(wi_point, wi_dist, wi_quad, wi_amb)
+    far = jnp.full_like(dist_point, world_radius)
+    dist = sel_scalar(dist_point, far, dq, far)
+    li = sel_vec(li_point, li_dist, li_quad, li_amb)
+    pdf = sel_scalar(jnp.ones_like(dist_point), jnp.ones_like(dist_point),
+                     pdf_quad, pdf_amb)
+    pdf = pdf / nl  # uniform light selection
+    return wi, dist, li, pdf, kind

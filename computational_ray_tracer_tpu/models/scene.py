@@ -1,0 +1,260 @@
+"""Scene description and unified intersection.
+
+The reference has *no scene file format* — scenes are hard-coded app locals
+(``RayTracerTestApp.h:103-207``). Here a Scene is a pytree of typed shape
+tables (spheres/cylinders/disks), an optional triangle mesh + octree, a
+material table, a light table, and an optional texture — replicated across
+devices under sharding (SURVEY §2.6 plan).
+
+``scene_intersect`` is the wavefront analog of ``Octtree_Model::Traverse`` +
+virtual ``Shape::Intersect`` dispatch: every shape type computes hit
+distances for the whole ray batch, a single argmin picks winners, and
+surface info is evaluated only for winning (ray, type) pairs then merged
+with ``where`` masks. ``scene_occluded`` is the shadow-ray predicate
+(IntersectP capability)."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from computational_ray_tracer_tpu.ops import shapes as shp
+from computational_ray_tracer_tpu.ops import triangle as trimod
+from computational_ray_tracer_tpu.ops import octree as octmod
+from computational_ray_tracer_tpu.models.materials import MaterialTable
+from computational_ray_tracer_tpu.models.lights import LightTable
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class Scene:
+    spheres: Optional[shp.SphereTable]
+    cylinders: Optional[shp.CylinderTable]
+    disks: Optional[shp.DiskTable]
+    mesh: Optional[trimod.MeshData]
+    octree: Optional[octmod.Octree]
+    materials: MaterialTable
+    lights: LightTable
+    # material id per shape instance, per type
+    sphere_mat: Optional[jnp.ndarray]
+    cylinder_mat: Optional[jnp.ndarray]
+    disk_mat: Optional[jnp.ndarray]
+    mesh_tri_mat: Optional[jnp.ndarray]   # (F,) material per triangle
+    texture: Optional[jnp.ndarray]        # (Ht, Wt, 3) sigmoid coeffs image
+    tri_mask: Optional[jnp.ndarray]       # (F,) backface-cull keep mask
+    wr: float = 100.0                     # static world radius (aux data)
+
+    _FIELDS = ("spheres", "cylinders", "disks", "mesh", "octree",
+               "materials", "lights", "sphere_mat", "cylinder_mat",
+               "disk_mat", "mesh_tri_mat", "texture", "tri_mask")
+
+    def tree_flatten(self):
+        return tuple(getattr(self, f) for f in self._FIELDS), self.wr
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, wr=aux)
+
+    @classmethod
+    def build(cls, materials, lights, spheres=None, cylinders=None,
+              disks=None, mesh=None, use_octree=True, texture_rgb=None,
+              backface_cull_dir=None):
+        """Host-side scene assembly. Shape dicts carry a `material` index.
+
+        texture_rgb: (H, W, 3) linear RGB image — pre-converted to sigmoid
+        coefficients via the rgb2spec table so per-hit texture lookups are a
+        gather (no per-sample fitting)."""
+        def tab(builder, items):
+            if not items:
+                return None, None
+            mat_ids = jnp.asarray([int(s.get("material", 0)) for s in items],
+                                  jnp.int32)
+            return builder(items), mat_ids
+
+        sph, sph_m = tab(shp.SphereTable.build, spheres)
+        cyl, cyl_m = tab(shp.CylinderTable.build, cylinders)
+        dsk, dsk_m = tab(shp.DiskTable.build, disks)
+
+        tree = None
+        tri_mat = None
+        tri_mask = None
+        if mesh is not None:
+            mesh_data, tri_mat = mesh if isinstance(mesh, tuple) else (mesh, None)
+            if tri_mat is None:
+                tri_mat = jnp.zeros((mesh_data.n_triangles,), jnp.int32)
+            if use_octree:
+                tree = octmod.build_octree(mesh_data)
+            if backface_cull_dir is not None:
+                tri_mask = trimod.compute_backface_mask(mesh_data,
+                                                        backface_cull_dir)
+            mesh = mesh_data
+
+        tex = None
+        if texture_rgb is not None:
+            from computational_ray_tracer_tpu.ops import color as colorlib
+            img = jnp.asarray(np.asarray(texture_rgb, np.float32))
+            h, w, _ = img.shape
+            table = colorlib.RGBToSpectrumTable.generate(res=16)
+            tex = table.lookup(img.reshape(-1, 3)).reshape(h, w, 3)
+
+        mats = (materials if isinstance(materials, MaterialTable)
+                else MaterialTable.build(materials))
+        lts = (lights if isinstance(lights, LightTable)
+               else LightTable.build(lights))
+
+        # Static world radius (host-side, at build time): conservative bound
+        # used for "infinite" distant/ambient shadow rays.
+        r = 1.0
+        if mesh is not None:
+            lo, hi = mesh.bounds()
+            r = max(r, float(jnp.max(jnp.abs(lo))), float(jnp.max(jnp.abs(hi))))
+        for t in (sph, cyl, dsk):
+            if t is not None:
+                r = max(r, float(jnp.max(jnp.abs(t.o2w[:, :3, 3]))) +
+                        float(jnp.max(jnp.abs(t.radius))))
+        return cls(sph, cyl, dsk, mesh, tree, mats, lts, sph_m, cyl_m,
+                   dsk_m, tri_mat, tex, tri_mask, wr=10.0 * r)
+
+    def world_radius(self):
+        """Conservative scene bounding radius (static; safe under jit)."""
+        return self.wr
+
+
+# Shape-type tags in the winner encoding
+TYPE_NONE, TYPE_SPHERE, TYPE_CYLINDER, TYPE_DISK, TYPE_MESH = 0, 1, 2, 3, 4
+
+
+def scene_intersect(scene: Scene, o, d, t_max):
+    """Closest hit across all shape types.
+
+    Returns (si: SurfaceInfo, mat_id (,...) int32, tri_tests (...,) int32).
+    """
+    t_best = t_max
+    type_best = jnp.zeros(o.shape[:-1], jnp.int32)
+    idx_best = jnp.zeros(o.shape[:-1], jnp.int32)
+    tri_tests = jnp.zeros(o.shape[:-1], jnp.int32)
+    b1 = jnp.zeros(o.shape[:-1])
+    b2 = jnp.zeros(o.shape[:-1])
+
+    def fold(t_all, type_tag, t_best, type_best, idx_best):
+        j = jnp.argmin(t_all, axis=-1)
+        tb = jnp.take_along_axis(t_all, j[..., None], axis=-1)[..., 0]
+        better = tb < t_best
+        return (jnp.where(better, tb, t_best),
+                jnp.where(better, type_tag, type_best),
+                jnp.where(better, j.astype(jnp.int32), idx_best), better)
+
+    if scene.spheres is not None:
+        t_all = shp.sphere_intersect_t(o, d, t_best, scene.spheres)
+        t_best, type_best, idx_best, _ = fold(t_all, TYPE_SPHERE, t_best,
+                                              type_best, idx_best)
+    if scene.cylinders is not None:
+        t_all = shp.cylinder_intersect_t(o, d, t_best, scene.cylinders)
+        t_best, type_best, idx_best, _ = fold(t_all, TYPE_CYLINDER, t_best,
+                                              type_best, idx_best)
+    if scene.disks is not None:
+        t_all = shp.disk_intersect_t(o, d, t_best, scene.disks)
+        t_best, type_best, idx_best, _ = fold(t_all, TYPE_DISK, t_best,
+                                              type_best, idx_best)
+    if scene.mesh is not None:
+        if scene.octree is not None:
+            tm, ti, mb1, mb2, tests = octmod.octree_traverse(
+                o, d, t_best, scene.octree, scene.mesh, scene.tri_mask)
+        else:
+            tm, ti, mb1, mb2, tests = trimod.mesh_intersect_brute(
+                o, d, t_best, scene.mesh, scene.tri_mask)
+        tri_tests = tri_tests + tests
+        better = tm < t_best
+        t_best = jnp.where(better, tm, t_best)
+        type_best = jnp.where(better, TYPE_MESH, type_best)
+        idx_best = jnp.where(better, ti, idx_best)
+        b1 = jnp.where(better, mb1, b1)
+        b2 = jnp.where(better, mb2, b2)
+
+    valid = jnp.isfinite(t_best) & (type_best != TYPE_NONE)
+    t_hit = jnp.where(valid, t_best, jnp.inf)
+
+    # Surface info for winners, merged across types.
+    si = _empty_surface(o, d, t_hit)
+    mat_id = jnp.zeros(o.shape[:-1], jnp.int32)
+
+    def merge(si, si_new, mask):
+        mask_v = mask[..., None]
+        return shp.SurfaceInfo(
+            t=jnp.where(mask, si_new.t, si.t),
+            valid=jnp.where(mask, si_new.valid, si.valid),
+            p=jnp.where(mask_v, si_new.p, si.p),
+            n=jnp.where(mask_v, si_new.n, si.n),
+            uv=jnp.where(mask_v, si_new.uv, si.uv),
+            dpdu=jnp.where(mask_v, si_new.dpdu, si.dpdu),
+            dpdv=jnp.where(mask_v, si_new.dpdv, si.dpdv),
+            wo=jnp.where(mask_v, si_new.wo, si.wo))
+
+    t_for_surf = jnp.where(valid, t_best, 1.0)
+    if scene.spheres is not None:
+        m = valid & (type_best == TYPE_SPHERE)
+        s = shp.sphere_surface(o, d, t_for_surf, idx_best, scene.spheres)
+        si = merge(si, s, m)
+        mat_id = jnp.where(m, scene.sphere_mat[idx_best], mat_id)
+    if scene.cylinders is not None:
+        m = valid & (type_best == TYPE_CYLINDER)
+        s = shp.cylinder_surface(o, d, t_for_surf, idx_best, scene.cylinders)
+        si = merge(si, s, m)
+        mat_id = jnp.where(m, scene.cylinder_mat[idx_best], mat_id)
+    if scene.disks is not None:
+        m = valid & (type_best == TYPE_DISK)
+        s = shp.disk_surface(o, d, t_for_surf, idx_best, scene.disks)
+        si = merge(si, s, m)
+        mat_id = jnp.where(m, scene.disk_mat[idx_best], mat_id)
+    if scene.mesh is not None:
+        m = valid & (type_best == TYPE_MESH)
+        s = trimod.mesh_surface(o, d, t_for_surf, idx_best, b1, b2,
+                                scene.mesh)
+        si = merge(si, s, m)
+        mat_id = jnp.where(m, scene.mesh_tri_mat[jnp.maximum(idx_best, 0)],
+                           mat_id)
+
+    si = shp.SurfaceInfo(t=t_hit, valid=valid, p=si.p, n=si.n, uv=si.uv,
+                         dpdu=si.dpdu, dpdv=si.dpdv, wo=si.wo)
+    return si, mat_id, tri_tests
+
+
+def _empty_surface(o, d, t):
+    z3 = jnp.zeros_like(o)
+    return shp.SurfaceInfo(
+        t=t, valid=jnp.zeros(o.shape[:-1], bool), p=z3,
+        n=jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), o.shape),
+        uv=jnp.zeros(o.shape[:-1] + (2,)), dpdu=z3, dpdv=z3,
+        wo=-d)
+
+
+def scene_occluded(scene: Scene, p, wi, dist, eps=1e-3):
+    """Shadow-ray predicate: is anything between p and p + wi*dist?
+    (Shape::IntersectP capability). Uses the same traversal with a shortened
+    t_max; any-hit == closest-hit t < dist here."""
+    o = p + wi * eps
+    t_max = jnp.full(p.shape[:-1], 1.0) * (dist - 2.0 * eps)
+    si, _, _ = scene_intersect(scene, o, wi, t_max)
+    return si.valid
+
+
+def texture_lookup(texture, uv):
+    """Bilinear fetch of sigmoid coefficients from the texture image
+    (the stbi uvmap fetch, RayTracerTestApp.h:252-259)."""
+    h, w, _ = texture.shape
+    x = jnp.clip(uv[..., 0], 0.0, 1.0) * (w - 1)
+    y = jnp.clip(1.0 - uv[..., 1], 0.0, 1.0) * (h - 1)
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, w - 2)
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, h - 2)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    c00 = texture[y0, x0]
+    c01 = texture[y0, x0 + 1]
+    c10 = texture[y0 + 1, x0]
+    c11 = texture[y0 + 1, x0 + 1]
+    return ((1 - fy) * ((1 - fx) * c00 + fx * c01)
+            + fy * ((1 - fx) * c10 + fx * c11))

@@ -1,0 +1,310 @@
+"""Flattened tensor octree over triangle meshes.
+
+Capability parity with ``RayTracer/Octtree_Model.h:9-422`` (world-space
+per-model octree, leaf capacity 40 with 0.01 child padding, split aborted when
+all triangles land in one child, Möller triangle-box overlap gating, BFS
+traversal that shrinks t_max on leaf hits, and PrintInfo occupancy
+diagnostics), re-architected TPU-first:
+
+- the *build* runs host-side in vectorized NumPy (it is one-shot scene setup,
+  SURVEY §7 design stance #2) and emits flat int32/float32 node tensors:
+  ``node_lo/node_hi (M,3)``, ``node_child0 (M,)`` (8 children contiguous,
+  -1 for leaves), and per-leaf triangle lists padded to the leaf capacity;
+- *traversal* is a branch-free ``lax.while_loop`` with an explicit fixed-depth
+  stack per ray, vmapped/broadcast over the whole wavefront — all gathers and
+  elementwise VPU math, no pointer chasing;
+- traversal statistics (node visits, triangle tests — the reference's
+  ``triangle_intersect_count``) come back as array outputs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from computational_ray_tracer_tpu.ops import triangle as trimod
+from computational_ray_tracer_tpu.ops.shapes import fp_gamma
+
+TRIANGLE_CAPACITY = 40   # leaf split threshold (Octtree_Model.h:388)
+CHILD_PADDING = 0.01     # child bounds padding (Octtree_Model.h:279-358)
+MAX_DEPTH = 12
+# Worst-case stack growth is +7 per level (push 8, pop 1): 8*MAX_DEPTH + 8.
+STACK_SIZE = 128
+
+
+# ---------------------------------------------------------------------------
+# Möller triangle-box overlap (ThirdParty/AABB_triangle_Moller.h capability),
+# vectorized over triangles in NumPy for the host-side build.
+# ---------------------------------------------------------------------------
+
+def _tri_box_overlap(center, half, v0, v1, v2):
+    """SAT test: triangles (K,3)x3 vs one box (3,), returns (K,) bool."""
+    v0 = v0 - center
+    v1 = v1 - center
+    v2 = v2 - center
+    e0 = v1 - v0
+    e1 = v2 - v1
+    e2 = v0 - v2
+
+    def axis_test(a, b, fa, fb, va, vb, i, j):
+        p0 = a * va[:, i] - b * va[:, j]
+        p1 = a * vb[:, i] - b * vb[:, j]
+        pmin = np.minimum(p0, p1)
+        pmax = np.maximum(p0, p1)
+        rad = fa * half[i] + fb * half[j]
+        return (pmin <= rad) & (pmax >= -rad)
+
+    ok = np.ones(v0.shape[0], dtype=bool)
+    for (e, pair) in ((e0, (v0, v2)), (e1, (v0, v2)), (e2, (v0, v1))):
+        fe = np.abs(e)
+        # 9 cross-axis tests, grouped per edge
+        ok &= axis_test(e[:, 2], e[:, 1], fe[:, 2], fe[:, 1],
+                        pair[0], pair[1], 1, 2)
+        ok &= axis_test(-e[:, 2], -e[:, 0], fe[:, 2], fe[:, 0],
+                        pair[0], pair[1], 0, 2)
+        # note sign convention folds into min/max
+        ok &= axis_test(e[:, 1], e[:, 0], fe[:, 1], fe[:, 0],
+                        pair[0], pair[1], 0, 1)
+
+    # AABB overlap on the 3 box axes
+    for i in range(3):
+        lo = np.minimum(np.minimum(v0[:, i], v1[:, i]), v2[:, i])
+        hi = np.maximum(np.maximum(v0[:, i], v1[:, i]), v2[:, i])
+        ok &= (lo <= half[i]) & (hi >= -half[i])
+
+    # Plane-box overlap
+    n = np.cross(e0, e1)
+    d = -np.sum(n * v0, axis=1)
+    r = np.sum(np.abs(n) * half[None, :], axis=1)
+    ok &= np.abs(d) <= r
+    return ok
+
+
+# ---------------------------------------------------------------------------
+# Build (host-side, top-down; preserves leaf-cap/padding/abort semantics)
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class Octree:
+    node_lo: jnp.ndarray       # (M, 3)
+    node_hi: jnp.ndarray       # (M, 3)
+    node_child0: jnp.ndarray   # (M,) int32, -1 for leaf
+    node_leaf_id: jnp.ndarray  # (M,) int32, -1 for interior
+    leaf_tris: jnp.ndarray     # (L, CAP) int32, -1 padded
+    leaf_counts: jnp.ndarray   # (L,) int32
+
+    def tree_flatten(self):
+        return (self.node_lo, self.node_hi, self.node_child0,
+                self.node_leaf_id, self.leaf_tris, self.leaf_counts), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def n_nodes(self):
+        return self.node_lo.shape[0]
+
+    def info(self):
+        """Occupancy diagnostics (PrintInfo, Octtree_Model.h:134-176)."""
+        child0 = np.asarray(self.node_child0)
+        counts = np.asarray(self.leaf_counts)
+        n_leaves = int((child0 == -1).sum())
+        return {
+            "nodes": int(child0.shape[0]),
+            "leaves": n_leaves,
+            "empty_leaves": int((counts == 0).sum()),
+            "avg_tris_per_leaf": float(counts.mean()) if len(counts) else 0.0,
+            "max_tris_per_leaf": int(counts.max()) if len(counts) else 0,
+        }
+
+
+def build_octree(mesh: trimod.MeshData, capacity=TRIANGLE_CAPACITY,
+                 max_depth=MAX_DEPTH, padding=CHILD_PADDING):
+    """Top-down octree build over a (world-space) mesh. Returns an Octree of
+    flat device tensors. Splits stop at `capacity` triangles, `max_depth`,
+    or when splitting fails to separate (the abort rule,
+    Octtree_Model.h:331-340)."""
+    pos = np.asarray(mesh.positions, np.float64)
+    idx = np.asarray(mesh.indices, np.int64)
+    v0, v1, v2 = pos[idx[:, 0]], pos[idx[:, 1]], pos[idx[:, 2]]
+
+    root_lo = pos.min(axis=0) - 1e-4
+    root_hi = pos.max(axis=0) + 1e-4
+
+    nodes_lo, nodes_hi, child0, leaf_id = [], [], [], []
+    leaves = []
+
+    def add_node(lo, hi):
+        nodes_lo.append(lo)
+        nodes_hi.append(hi)
+        child0.append(-1)
+        leaf_id.append(-1)
+        return len(nodes_lo) - 1
+
+    root = add_node(root_lo, root_hi)
+    # worklist of (node_id, tri_ids, depth)
+    work = [(root, np.arange(idx.shape[0]), 0)]
+    while work:
+        nid, tris, depth = work.pop()
+        lo = nodes_lo[nid]
+        hi = nodes_hi[nid]
+        if len(tris) <= capacity or depth >= max_depth:
+            leaf_id[nid] = len(leaves)
+            leaves.append(tris)
+            continue
+        mid = (lo + hi) / 2.0
+        child_sets = []
+        child_bounds = []
+        for ix in (0, 1):
+            for iy in (0, 1):
+                for iz in (0, 1):
+                    clo = np.array([lo[0] if ix == 0 else mid[0],
+                                    lo[1] if iy == 0 else mid[1],
+                                    lo[2] if iz == 0 else mid[2]])
+                    chi = np.array([mid[0] if ix == 0 else hi[0],
+                                    mid[1] if iy == 0 else hi[1],
+                                    mid[2] if iz == 0 else hi[2]])
+                    clo_p = clo - padding
+                    chi_p = chi + padding
+                    center = (clo_p + chi_p) / 2.0
+                    half = (chi_p - clo_p) / 2.0
+                    sel = _tri_box_overlap(center, half, v0[tris], v1[tris],
+                                           v2[tris])
+                    child_sets.append(tris[sel])
+                    child_bounds.append((clo_p, chi_p))
+        # Abort-split rule: no separation achieved
+        if max(len(s) for s in child_sets) >= len(tris):
+            leaf_id[nid] = len(leaves)
+            leaves.append(tris)
+            continue
+        base = len(nodes_lo)
+        child0[nid] = base
+        for (clo, chi), s in zip(child_bounds, child_sets):
+            cid = add_node(clo, chi)
+            work.append((cid, s, depth + 1))
+
+    # Flatten leaves padded to the max leaf size
+    cap = max(max((len(t) for t in leaves), default=1), 1)
+    leaf_tris = np.full((len(leaves), cap), -1, np.int32)
+    leaf_counts = np.zeros(len(leaves), np.int32)
+    for i, t in enumerate(leaves):
+        leaf_tris[i, :len(t)] = t
+        leaf_counts[i] = len(t)
+
+    return Octree(
+        node_lo=jnp.asarray(np.asarray(nodes_lo, np.float32)),
+        node_hi=jnp.asarray(np.asarray(nodes_hi, np.float32)),
+        node_child0=jnp.asarray(np.asarray(child0, np.int32)),
+        node_leaf_id=jnp.asarray(np.asarray(leaf_id, np.int32)),
+        leaf_tris=jnp.asarray(leaf_tris),
+        leaf_counts=jnp.asarray(leaf_counts))
+
+
+# ---------------------------------------------------------------------------
+# Traversal (device): per-ray explicit stack, vectorized over the wavefront
+# ---------------------------------------------------------------------------
+
+def octree_traverse(o, d, t_max, tree: Octree, mesh: trimod.MeshData,
+                    tri_mask=None):
+    """Closest-hit traversal (Octtree_Model::Traverse, Octtree_Model.h:66-127
+    capability). Returns (t, tri_idx, b1, b2, tri_tests).
+
+    Per ray: pop node from stack → robust slab test → interior: push 8
+    children; leaf: test its padded triangle list, shrink t. Runs as one
+    lockstep while_loop over the whole batch (masked divergence).
+    """
+    batch_shape = o.shape[:-1]
+    flat_o = o.reshape(-1, 3)
+    flat_d = d.reshape(-1, 3)
+    flat_tmax = t_max.reshape(-1)
+    n = flat_o.shape[0]
+    cap = tree.leaf_tris.shape[1]
+
+    inv_d = 1.0 / jnp.where(jnp.abs(flat_d) < 1e-20,
+                            jnp.sign(flat_d) * 1e-20 + 1e-30, flat_d)
+
+    i0 = mesh.indices[:, 0]
+    i1 = mesh.indices[:, 1]
+    i2 = mesh.indices[:, 2]
+
+    def cond(state):
+        sp = state[0]
+        return jnp.any(sp > 0)
+
+    def body(state):
+        sp, stack, t_best, tri_best, b1_best, b2_best, tests = state
+        active = sp > 0
+        sp_new = jnp.where(active, sp - 1, sp)
+        node = jnp.take_along_axis(stack, jnp.maximum(sp_new, 0)[:, None],
+                                   axis=1)[:, 0]
+        node = jnp.where(active, node, 0)
+
+        lo = tree.node_lo[node]
+        hi = tree.node_hi[node]
+        t0 = (lo - flat_o) * inv_d
+        t1 = (hi - flat_o) * inv_d
+        t_near = jnp.max(jnp.minimum(t0, t1), axis=-1)
+        t_far = jnp.min(jnp.maximum(t0, t1), axis=-1) * (1.0 + 2.0 * fp_gamma(3))
+        box_hit = active & (t_near <= t_far) & (t_far > 0.0) & (t_near < t_best)
+
+        c0 = tree.node_child0[node]
+        is_leaf = c0 < 0
+        leaf = tree.node_leaf_id[node]
+
+        # --- interior: push 8 children
+        push = box_hit & ~is_leaf
+        offs = jnp.arange(8, dtype=jnp.int32)
+        new_entries = c0[:, None] + offs[None, :]
+        pos = sp_new[:, None] + offs[None, :]
+        stack = jax.vmap(
+            lambda s, p, e, m: jax.lax.select(
+                m, s.at[p].set(e), s))(stack, pos, new_entries, push)
+        sp_after = jnp.where(push, sp_new + 8, sp_new)
+
+        # --- leaf: test padded triangle list
+        do_leaf = box_hit & is_leaf
+        leaf_safe = jnp.maximum(leaf, 0)
+        tri_ids = tree.leaf_tris[leaf_safe]            # (n, cap)
+        tri_ok = (tri_ids >= 0) & do_leaf[:, None]
+        tri_safe = jnp.maximum(tri_ids, 0)
+        if tri_mask is not None:
+            tri_ok = tri_ok & tri_mask[tri_safe]
+        p0 = mesh.positions[i0[tri_safe]]
+        p1 = mesh.positions[i1[tri_safe]]
+        p2 = mesh.positions[i2[tri_safe]]
+        t, b0, b1, b2, hit = trimod.triangle_intersect(
+            flat_o[:, None, :], flat_d[:, None, :], t_best[:, None],
+            p0, p1, p2)
+        t = jnp.where(tri_ok, t, jnp.inf)
+        j = jnp.argmin(t, axis=-1)
+        t_leaf = jnp.take_along_axis(t, j[:, None], axis=1)[:, 0]
+        better = t_leaf < t_best
+        t_best = jnp.where(better, t_leaf, t_best)
+        tri_best = jnp.where(
+            better, jnp.take_along_axis(tri_safe, j[:, None], axis=1)[:, 0],
+            tri_best)
+        b1_best = jnp.where(better,
+                            jnp.take_along_axis(b1, j[:, None], axis=1)[:, 0],
+                            b1_best)
+        b2_best = jnp.where(better,
+                            jnp.take_along_axis(b2, j[:, None], axis=1)[:, 0],
+                            b2_best)
+        tests = tests + jnp.sum(tri_ok, axis=-1).astype(jnp.int32)
+        return (sp_after, stack, t_best, tri_best, b1_best, b2_best, tests)
+
+    stack = jnp.zeros((n, STACK_SIZE), jnp.int32)
+    sp = jnp.ones((n,), jnp.int32)  # root pre-pushed at slot 0
+    init = (sp, stack, flat_tmax, jnp.full((n,), -1, jnp.int32),
+            jnp.zeros((n,)), jnp.zeros((n,)), jnp.zeros((n,), jnp.int32))
+    sp, stack, t_best, tri_best, b1b, b2b, tests = jax.lax.while_loop(
+        cond, body, init)
+
+    reshape = lambda x: x.reshape(batch_shape)
+    return (reshape(jnp.where(jnp.isfinite(t_best) & (tri_best >= 0), t_best,
+                              jnp.inf)),
+            reshape(tri_best), reshape(b1b), reshape(b2b), reshape(tests))

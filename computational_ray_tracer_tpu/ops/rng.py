@@ -1,0 +1,332 @@
+"""Counter-based stateless RNG and pixel samplers.
+
+The reference's samplers are *stateful* objects (PCG32 + per-thread instances,
+``ThirdParty/pbrv4/{rng.h:24-144, samplers.h:25-327}``) whose key property is
+that every draw is a pure function of ``(pixel, sampleIndex, dimension, seed)``
+(samplers.h:47-51, 91-99). On TPU we keep exactly that property but drop the
+state: every sample is computed directly from its coordinates with bijective
+integer hashing, so any chip/shard computes identical values for identical
+coordinates — placement-invariant determinism for free.
+
+Three sampler tiers mirror the reference:
+- ``independent_*``  — hash-based uniform (IndependentSampler, samplers.h:38-62)
+- ``stratified_*``   — hashed-permutation stratum + jitter
+                       (StratifiedSampler, samplers.h:66-136)
+- ``sobol_*``        — Owen-scrambled Sobol' points, padded per pixel
+                       (SobolSampler capability, samplers.h:144-327; we use the
+                       padded-per-pixel formulation which vectorizes cleanly)
+
+All functions are elementwise over arbitrary batch shapes and run on the VPU.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# 32-bit mixing primitives (capability of hash.h:18-109 / MixBits)
+# ---------------------------------------------------------------------------
+
+def _u32(x):
+    return jnp.asarray(x).astype(jnp.uint32)
+
+
+def mix_bits(x):
+    """murmur3 fmix32 finalizer — bijective avalanche mix on uint32."""
+    x = _u32(x)
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return x
+
+
+def hash_u32(*args):
+    """Variadic deterministic hash of integer arrays -> uint32 (Hash(...),
+    hash.h:96-104). Chained Weyl-sequence absorb + fmix32 finalize."""
+    h = jnp.uint32(0x9E3779B9)
+    for a in args:
+        h = mix_bits(h ^ (_u32(a) * jnp.uint32(0x01000193)))
+    return h
+
+
+def u32_to_float(bits):
+    """uint32 -> float32 in [0, 1) using the top 24 bits (exactly
+    representable; parity with rng.h:122-124's 0x1p-32 mapping up to f32
+    rounding)."""
+    return (bits >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+
+
+ONE_MINUS_EPSILON = jnp.float32(np.nextafter(np.float32(1.0), np.float32(0.0)))
+
+
+# ---------------------------------------------------------------------------
+# Independent sampler
+# ---------------------------------------------------------------------------
+
+def independent_1d(seed, pixel, sample_idx, dim):
+    """Uniform [0,1) draw, pure in (seed, pixel, sample, dim)."""
+    return u32_to_float(hash_u32(seed, pixel, sample_idx, dim))
+
+
+def independent_2d(seed, pixel, sample_idx, dim):
+    u0 = independent_1d(seed, pixel, sample_idx, dim)
+    u1 = independent_1d(seed, pixel, sample_idx, dim + 1)
+    return jnp.stack([u0, u1], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Kensler cycle-walking permutation (PermutationElement capability,
+# Util/HelperFunctions.h:175-206)
+# ---------------------------------------------------------------------------
+
+def permutation_element(i, n, p):
+    """Random permutation of [0, n) evaluated at i, keyed by p.
+
+    Cycle-walking over the next-power-of-two domain [0, 2^k): the scramble is
+    a *provable bijection* mod 2^k (odd-multiply + xorshift + masked xor
+    rounds), so the walk starting from i < n always terminates at a value
+    < n, and the restriction is a permutation of [0, n). Same decorrelation
+    role as the reference's PermutationElement (Util/HelperFunctions.h:175).
+    """
+    i = _u32(i)
+    n = _u32(n)
+    p = _u32(p)
+    # w = next-pow2-minus-1 mask covering n-1
+    w = jnp.maximum(n, jnp.uint32(1)) - jnp.uint32(1)
+    w = w | (w >> 1)
+    w = w | (w >> 2)
+    w = w | (w >> 4)
+    w = w | (w >> 8)
+    w = w | (w >> 16)
+
+    def scramble(x):
+        # Each round is bijective on [0, w+1): odd multiply mod 2^k (masked),
+        # xorshift-right (top bits preserved), keyed xor (masked).
+        for c_mul, c_xor, s in ((0x9E3779B9 | 1, 0x85EBCA6B, 5),
+                                (0xC2B2AE35 | 1, 0x27D4EB2F, 3),
+                                (0x165667B1 | 1, 0x9E3779B9, 7)):
+            x = (x * jnp.uint32(c_mul)) & w
+            x = x ^ (x >> jnp.uint32(s))
+            x = x ^ (p & w)
+            x = (x * jnp.uint32(c_xor | 1)) & w
+            x = x ^ ((p >> jnp.uint32(16)) & w)
+            x = x ^ (x >> jnp.uint32(2))
+        return x & w
+
+    def cond(x):
+        return jnp.any(x >= n)
+
+    def body(x):
+        return jnp.where(x >= n, scramble(x), x)
+
+    # Cycle walk: i < n is in its own scramble-cycle, so termination is
+    # guaranteed; expected < 2 iterations (domain is < 2n).
+    x = jax.lax.while_loop(cond, body, scramble(i))
+    return ((x + p) % n).astype(jnp.uint32)
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampler (samplers.h:66-136)
+# ---------------------------------------------------------------------------
+
+def stratified_1d(seed, pixel, sample_idx, dim, spp, jitter=True):
+    stratum = permutation_element(
+        sample_idx, spp, hash_u32(pixel, dim, seed)).astype(jnp.float32)
+    delta = jnp.where(jitter, independent_1d(seed, pixel, sample_idx, dim),
+                      jnp.float32(0.5))
+    return (stratum + delta) / spp
+
+
+def stratified_2d(seed, pixel, sample_idx, dim, xs, ys, jitter=True):
+    """(x-strata, y-strata) grid; spp = xs*ys (samplers.h:107-124)."""
+    spp = xs * ys
+    stratum = permutation_element(sample_idx, spp, hash_u32(pixel, dim, seed))
+    x = (stratum % jnp.uint32(xs)).astype(jnp.float32)
+    y = (stratum // jnp.uint32(xs)).astype(jnp.float32)
+    dx = jnp.where(jitter, independent_1d(seed, pixel, sample_idx, dim),
+                   jnp.float32(0.5))
+    dy = jnp.where(jitter, independent_1d(seed, pixel, sample_idx, dim + 1),
+                   jnp.float32(0.5))
+    return jnp.stack([(x + dx) / xs, (y + dy) / ys], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Sobol' low-discrepancy points with Owen scrambling
+# ---------------------------------------------------------------------------
+
+def _sobol_matrices(n_dims=12, n_bits=32):
+    """Generate Sobol' direction-number matrices from primitive polynomials
+    (Joe-Kuo initialization for the first dimensions). Host-side, once."""
+    # (degree s, polynomial a, initial m values) for dims 2..12; dim 1 is
+    # the van der Corput sequence.
+    jk = [
+        (1, 0, [1]),
+        (2, 1, [1, 3]),
+        (3, 1, [1, 3, 1]),
+        (3, 2, [1, 1, 1]),
+        (4, 1, [1, 1, 3, 3]),
+        (4, 4, [1, 3, 5, 13]),
+        (5, 2, [1, 1, 5, 5, 17]),
+        (5, 4, [1, 1, 5, 5, 5]),
+        (5, 7, [1, 1, 7, 11, 19]),
+        (5, 11, [1, 1, 5, 1, 1]),
+        (5, 13, [1, 1, 1, 3, 11]),
+    ]
+    V = np.zeros((n_dims, n_bits), dtype=np.uint32)
+    # dim 0: identity (van der Corput)
+    for k in range(n_bits):
+        V[0, k] = np.uint32(1) << (31 - k)
+    for d in range(1, n_dims):
+        s, a, m_init = jk[d - 1]
+        m = list(m_init)
+        for k in range(s, n_bits):
+            mk = m[k - s] ^ (m[k - s] << s)
+            for t in range(1, s):
+                if (a >> (s - 1 - t)) & 1:
+                    mk ^= m[k - t] << t
+            m.append(mk)
+        for k in range(n_bits):
+            V[d, k] = np.uint32(m[k] << (31 - k))
+    return V
+
+
+SOBOL_MATRICES = _sobol_matrices()
+_SOBOL_J = jnp.asarray(SOBOL_MATRICES)  # (D, 32) uint32
+N_SOBOL_DIMS = SOBOL_MATRICES.shape[0]
+
+
+def sobol_sample_u32(index, dim):
+    """Raw 32-bit Sobol' value of point `index` in dimension `dim`
+    (elementwise over batches)."""
+    index = _u32(index)
+    dim = _u32(dim)
+    cols = _SOBOL_J[dim]  # (..., 32) after gather
+
+    def body(k, v):
+        bit = (index >> _u32(k)) & jnp.uint32(1)
+        return v ^ (cols[..., k] * bit)
+
+    return jax.lax.fori_loop(0, 32, body, jnp.zeros_like(index))
+
+
+def _reverse_bits32(x):
+    x = _u32(x)
+    x = ((x >> 1) & jnp.uint32(0x55555555)) | ((x & jnp.uint32(0x55555555)) << 1)
+    x = ((x >> 2) & jnp.uint32(0x33333333)) | ((x & jnp.uint32(0x33333333)) << 2)
+    x = ((x >> 4) & jnp.uint32(0x0F0F0F0F)) | ((x & jnp.uint32(0x0F0F0F0F)) << 4)
+    x = ((x >> 8) & jnp.uint32(0x00FF00FF)) | ((x & jnp.uint32(0x00FF00FF)) << 8)
+    return (x >> 16) | (x << 16)
+
+
+def fast_owen_scramble(v, scramble_seed):
+    """Hash-based Owen scrambling (FastOwenScrambler capability,
+    samplers.h:186-201): Burley's nested uniform scramble — bit-reverse,
+    seeded rounds of ``x ^= x * c`` (each bijective and strictly
+    bit-upward-propagating, which is exactly the Owen tree structure), then
+    bit-reverse back."""
+    v = _reverse_bits32(v)
+    v = v + _u32(scramble_seed)
+    v = v ^ (v * jnp.uint32(0x6C50B47C))
+    v = v ^ (v * jnp.uint32(0xB82F1E52))
+    v = v ^ (v * jnp.uint32(0xC7AFE638))
+    v = v ^ (v * jnp.uint32(0x8D22F6E6))
+    return _reverse_bits32(v)
+
+
+def binary_permute_scramble(v, scramble_seed):
+    """XOR scrambling (BinaryPermuteScrambler, samplers.h:178-184)."""
+    return _u32(scramble_seed) ^ _u32(v)
+
+
+def sobol_owen_1d(seed, pixel, sample_idx, dim, spp=None):
+    """Owen-scrambled Sobol' draw, padded per pixel: each (pixel, dim) gets
+    its own randomized sequence indexed by sample_idx.
+
+    When ``spp`` is given, the sample index is additionally run through a
+    per-(pixel, dim) random permutation of [0, spp) — pointwise decorrelation
+    across pixels while keeping the first-spp point *set* (and hence its
+    stratification) intact."""
+    idx = _u32(sample_idx)
+    if spp is not None:
+        idx = permutation_element(idx, spp,
+                                  hash_u32(seed, pixel, dim, 0x55555555))
+    d = _u32(dim) % jnp.uint32(N_SOBOL_DIMS)
+    v = sobol_sample_u32(idx, d)
+    v = fast_owen_scramble(v, hash_u32(seed, pixel, dim))
+    return u32_to_float(v)
+
+
+def sobol_owen_2d(seed, pixel, sample_idx, dim, spp=None):
+    """A 2D Sobol' point: BOTH dims share one shuffled index so the pair
+    keeps the (0,2)-sequence property."""
+    idx = _u32(sample_idx)
+    if spp is not None:
+        idx = permutation_element(idx, spp,
+                                  hash_u32(seed, pixel, dim, 0x55555555))
+    d0 = _u32(dim) % jnp.uint32(N_SOBOL_DIMS)
+    d1 = _u32(dim + 1) % jnp.uint32(N_SOBOL_DIMS)
+    v0 = fast_owen_scramble(sobol_sample_u32(idx, d0),
+                            hash_u32(seed, pixel, dim))
+    v1 = fast_owen_scramble(sobol_sample_u32(idx, d1),
+                            hash_u32(seed, pixel, dim + 1))
+    return jnp.stack([u32_to_float(v0), u32_to_float(v1)], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Host-side PCG32 (parity tool for test vectors; rng.h:24-144)
+# ---------------------------------------------------------------------------
+
+class PCG32:
+    """NumPy implementation of PCG32 with SetSequence/Advance, used host-side
+    to cross-check determinism properties in tests (not a device path)."""
+    MULT = np.uint64(0x5851F42D4C957F2D)
+    DEFAULT_STATE = np.uint64(0x853C49E6748FEA9B)
+    DEFAULT_STREAM = np.uint64(0xDA3E39CB94B95BDB)
+
+    def __init__(self, seq_index=None, offset=None):
+        self.state = self.DEFAULT_STATE
+        self.inc = self.DEFAULT_STREAM
+        if seq_index is not None:
+            self.set_sequence(np.uint64(seq_index),
+                              np.uint64(offset) if offset is not None else None)
+
+    def set_sequence(self, seq_index, offset=None):
+        with np.errstate(over="ignore"):
+            self.state = np.uint64(0)
+            self.inc = (np.uint64(seq_index) << np.uint64(1)) | np.uint64(1)
+            self.uniform_u32()
+            self.state += (self.DEFAULT_STATE if offset is None
+                           else np.uint64(offset))
+            self.uniform_u32()
+
+    def uniform_u32(self):
+        with np.errstate(over="ignore"):
+            old = self.state
+            self.state = old * self.MULT + self.inc
+            xorshifted = np.uint32(((old >> np.uint64(18)) ^ old) >> np.uint64(27))
+            rot = np.uint32(old >> np.uint64(59))
+            return np.uint32((xorshifted >> rot) | (xorshifted << ((~rot + np.uint32(1)) & np.uint32(31))))
+
+    def uniform_float(self):
+        return min(float(np.float32(self.uniform_u32()) * np.float32(2.0 ** -32)),
+                   float(ONE_MINUS_EPSILON))
+
+    def advance(self, delta):
+        """O(log n) jump-ahead (rng.h:131-144)."""
+        with np.errstate(over="ignore"):
+            cur_mult, cur_plus = self.MULT, self.inc
+            acc_mult, acc_plus = np.uint64(1), np.uint64(0)
+            delta = np.uint64(delta)
+            while delta > 0:
+                if delta & np.uint64(1):
+                    acc_mult *= cur_mult
+                    acc_plus = acc_plus * cur_mult + cur_plus
+                cur_plus = (cur_mult + np.uint64(1)) * cur_plus
+                cur_mult *= cur_mult
+                delta >>= np.uint64(1)
+            self.state = acc_mult * self.state + acc_plus

@@ -1,0 +1,132 @@
+"""Procedural mesh generation (hermetic test fixtures).
+
+The reference loads its scenes from external model files that are absent
+from its repo (``Game_Data/models/*``, RayTracerTestApp.h:70-73) — here we
+generate equivalent geometry procedurally so every test and benchmark is
+self-contained (SURVEY §7 hard parts: host-side scene assets).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+
+def quad(corner, edge1, edge2, flip=False):
+    """Two triangles covering a parallelogram. Returns (positions (4,3),
+    indices (2,3), uvs (4,2)). Winding gives the normal along
+    cross(edge1, edge2) unless flipped."""
+    c = np.asarray(corner, np.float32)
+    e1 = np.asarray(edge1, np.float32)
+    e2 = np.asarray(edge2, np.float32)
+    pos = np.stack([c, c + e1, c + e1 + e2, c + e2])
+    idx = np.asarray([[0, 1, 2], [0, 2, 3]], np.int32)
+    if flip:
+        idx = idx[:, ::-1].copy()
+    uv = np.asarray([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    return pos, idx, uv
+
+
+def merge_meshes(parts):
+    """parts: list of (positions, indices, uvs [, face_material]) tuples.
+    Returns (positions, indices, uvs, tri_materials)."""
+    pos_all, idx_all, uv_all, mat_all = [], [], [], []
+    base = 0
+    for part in parts:
+        pos, idx, uv = part[:3]
+        m = part[3] if len(part) > 3 else 0
+        pos_all.append(pos)
+        idx_all.append(np.asarray(idx) + base)
+        uv_all.append(uv)
+        mat_all.append(np.full(len(idx), m, np.int32))
+        base += len(pos)
+    return (np.concatenate(pos_all), np.concatenate(idx_all),
+            np.concatenate(uv_all), np.concatenate(mat_all))
+
+
+def box(lo, hi, flip=False):
+    """12-triangle axis-aligned box with outward normals (inward if flip)."""
+    lo = np.asarray(lo, np.float32)
+    hi = np.asarray(hi, np.float32)
+    d = hi - lo
+    ex = np.asarray([d[0], 0, 0], np.float32)
+    ey = np.asarray([0, d[1], 0], np.float32)
+    ez = np.asarray([0, 0, d[2]], np.float32)
+    faces = [
+        quad(lo, ez, ey, flip=not flip),            # -x
+        quad(lo + ex, ey, ez, flip=not flip),       # +x
+        quad(lo, ex, ez, flip=not flip),            # -y
+        quad(lo + ey, ez, ex, flip=not flip),       # +y
+        quad(lo, ey, ex, flip=not flip),            # -z
+        quad(lo + ez, ex, ey, flip=not flip),       # +z
+    ]
+    return merge_meshes(faces)[:3]
+
+
+def uv_sphere(center, radius, n_theta=16, n_phi=32):
+    """Lat-long triangulated sphere."""
+    c = np.asarray(center, np.float32)
+    verts, uvs = [], []
+    for i in range(n_theta + 1):
+        theta = math.pi * i / n_theta
+        for j in range(n_phi + 1):
+            phi = 2 * math.pi * j / n_phi
+            p = np.asarray([math.sin(theta) * math.cos(phi),
+                            math.sin(theta) * math.sin(phi),
+                            math.cos(theta)], np.float32)
+            verts.append(c + radius * p)
+            uvs.append([j / n_phi, i / n_theta])
+    idx = []
+    stride = n_phi + 1
+    for i in range(n_theta):
+        for j in range(n_phi):
+            a = i * stride + j
+            b = a + 1
+            cc = a + stride
+            dd = cc + 1
+            if i > 0:
+                idx.append([a, cc, b])
+            if i < n_theta - 1:
+                idx.append([b, cc, dd])
+    return (np.asarray(verts, np.float32), np.asarray(idx, np.int32),
+            np.asarray(uvs, np.float32))
+
+
+def cornell_box(size=2.0, light_frac=0.5):
+    """The classic five-walled Cornell box in [-s/2, s/2]^3, open toward -z
+    viewers, with a ceiling light quad.
+
+    Returns (positions, indices, uvs, tri_materials, light_quad) where
+    materials are 0=white walls, 1=red left, 2=green right, 3=light, and
+    light_quad = (corner, edge1, edge2) for the matching area light
+    (BASELINE config 2)."""
+    s = size / 2.0
+    parts = [
+        quad((-s, -s, -s), (0, 0, size), (size, 0, 0), False) + (0,),   # floor (+y normal)
+        quad((-s, s, -s), (size, 0, 0), (0, 0, size), False) + (0,),    # ceiling (-y normal)
+        quad((-s, -s, s), (0, size, 0), (size, 0, 0), False) + (0,),    # back (-z normal)
+        quad((-s, -s, -s), (0, size, 0), (0, 0, size), False) + (1,),   # left red (+x normal)
+        quad((s, -s, -s), (0, 0, size), (0, size, 0), False) + (2,),    # right green (-x normal)
+    ]
+    # ceiling light quad slightly below the ceiling. Edge order chosen so
+    # cross(edge1, edge2) = -y: the light emits DOWNWARD (one-sided quad
+    # light convention in models/lights.py).
+    lf = light_frac * size / 2.0
+    lc = np.asarray([-lf, s - 0.005 * size, -lf], np.float32)
+    le1 = np.asarray([2 * lf, 0, 0], np.float32)
+    le2 = np.asarray([0, 0, 2 * lf], np.float32)
+    lq = quad(lc, le2, le1, False) + (3,)
+    parts.append(lq)
+    pos, idx, uv, mats = merge_meshes(parts)
+    return pos, idx, uv, mats, (lc, le1, le2)
+
+
+def checker_texture(n=64, c0=(0.9, 0.9, 0.9), c1=(0.15, 0.15, 0.55)):
+    """Simple checkerboard RGB image (the uvmap.png stand-in)."""
+    img = np.zeros((n, n, 3), np.float32)
+    ii, jj = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    mask = ((ii // (n // 8) + jj // (n // 8)) % 2).astype(bool)
+    img[mask] = np.asarray(c1, np.float32)
+    img[~mask] = np.asarray(c0, np.float32)
+    return img

@@ -1,0 +1,93 @@
+"""Minimal Wavefront OBJ loader.
+
+Capability parity with the reference's Assimp-based importer
+(``RayTracer/AssetManager.cpp:67-191``: triangulated positions, normals,
+texcoords, tangent generation, missing-attribute defaults) without the
+external dependency: a small, dependency-free OBJ parser feeding
+``MeshData.build`` (which generates normals/tangents when absent). A
+host-side ``MeshCache`` mirrors the reference's static model cache
+(AssetManager.h:60-65)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def load_obj(path):
+    """Parse an OBJ file into (positions, indices, normals, uvs) arrays.
+
+    Faces are triangulated (fan) like Assimp's aiProcess_Triangulate.
+    Per-corner normal/uv indices are resolved by splitting vertices on
+    unique (v, vt, vn) triples."""
+    vs, vts, vns = [], [], []
+    corners = []  # list of (vi, vti, vni) per face corner, triangulated
+    with open(path) as f:
+        for line in f:
+            t = line.split()
+            if not t:
+                continue
+            if t[0] == "v":
+                vs.append([float(x) for x in t[1:4]])
+            elif t[0] == "vt":
+                vts.append([float(t[1]), float(t[2]) if len(t) > 2 else 0.0])
+            elif t[0] == "vn":
+                vns.append([float(x) for x in t[1:4]])
+            elif t[0] == "f":
+                face = []
+                for c in t[1:]:
+                    parts = c.split("/")
+                    vi = int(parts[0])
+                    vti = int(parts[1]) if len(parts) > 1 and parts[1] else 0
+                    vni = int(parts[2]) if len(parts) > 2 and parts[2] else 0
+                    face.append((vi, vti, vni))
+                for k in range(1, len(face) - 1):  # fan triangulation
+                    corners.extend([face[0], face[k], face[k + 1]])
+
+    def resolve(idx, n):
+        return idx - 1 if idx > 0 else n + idx
+
+    key_to_new = {}
+    positions, normals, uvs, indices = [], [], [], []
+    for c in corners:
+        if c not in key_to_new:
+            key_to_new[c] = len(positions)
+            vi, vti, vni = c
+            positions.append(vs[resolve(vi, len(vs))])
+            uvs.append(vts[resolve(vti, len(vts))] if vti else [0.0, 0.0])
+            normals.append(vns[resolve(vni, len(vns))] if vni else None)
+        indices.append(key_to_new[c])
+
+    positions = np.asarray(positions, np.float32)
+    indices = np.asarray(indices, np.int32).reshape(-1, 3)
+    uvs = np.asarray(uvs, np.float32)
+    has_normals = all(n is not None for n in normals)
+    normals_arr = (np.asarray(normals, np.float32) if has_normals else None)
+    return positions, indices, normals_arr, uvs
+
+
+def save_obj(path, positions, indices):
+    """Write a minimal OBJ (test fixture round-trips)."""
+    with open(path, "w") as f:
+        for p in np.asarray(positions):
+            f.write(f"v {p[0]} {p[1]} {p[2]}\n")
+        for t in np.asarray(indices):
+            f.write(f"f {t[0]+1} {t[1]+1} {t[2]+1}\n")
+
+
+class MeshCache:
+    """Named model cache (MeshCache::modelCache, AssetManager.cpp:6)."""
+    _cache = {}
+
+    @classmethod
+    def load(cls, name, path, transform=None):
+        from computational_ray_tracer_tpu.ops.triangle import MeshData
+        key = (name, id(transform))
+        if key not in cls._cache:
+            pos, idx, nrm, uv = load_obj(path)
+            cls._cache[key] = MeshData.build(pos, idx, normals=nrm, uvs=uv,
+                                             transform=transform)
+        return cls._cache[key]
+
+    @classmethod
+    def clear(cls):
+        cls._cache.clear()

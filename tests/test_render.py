@@ -1,0 +1,213 @@
+"""End-to-end render tests — the BASELINE.json configs as asserted checks
+(replacing the reference's interactive viewer, SURVEY §4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from computational_ray_tracer_tpu.models.scene import Scene
+from computational_ray_tracer_tpu.models import integrator as integ
+from computational_ray_tracer_tpu.ops import camera as cam
+from computational_ray_tracer_tpu.ops import shapes as shp
+from computational_ray_tracer_tpu.ops import triangle as trimod
+from computational_ray_tracer_tpu.utils import mesh_gen
+
+
+def sphere_scene(albedo=(0.8, 0.3, 0.3)):
+    return Scene.build(
+        materials=[{"kind": "diffuse", "albedo_rgb": albedo}],
+        lights=[{"kind": "point", "position": (2.0, 3.0, -2.0),
+                 "spd_named": "stdillum-D65", "scale": 0.15}],
+        spheres=[{"radius": 1.0, "material": 0}],
+    )
+
+
+def sphere_camera(res=32):
+    return cam.PerspectiveCamera.create((0, 0, -4), (res, res), fov_y=40.0,
+                                        look_at=(0, 0, 0))
+
+
+def cornell_scene(light_scale=0.05):
+    pos, idx, uv, mats, (lc, le1, le2) = mesh_gen.cornell_box(2.0)
+    mesh = trimod.MeshData.build(pos, idx, uvs=uv)
+    return Scene.build(
+        materials=[
+            {"kind": "diffuse", "albedo_rgb": (0.73, 0.73, 0.73)},
+            {"kind": "diffuse", "albedo_rgb": (0.65, 0.05, 0.05)},
+            {"kind": "diffuse", "albedo_rgb": (0.12, 0.45, 0.15)},
+            {"kind": "diffuse", "albedo_rgb": (0.0, 0.0, 0.0),
+             "emission_rgb": (1.0, 0.85, 0.6),
+             "emission_scale": light_scale},
+        ],
+        lights=[{"kind": "quad", "corner": tuple(lc),
+                 "edge1": tuple(le1), "edge2": tuple(le2),
+                 "rgb": (1.0, 0.85, 0.6), "scale": light_scale}],
+        mesh=(mesh, jnp.asarray(mats)),
+        use_octree=False,
+    )
+
+
+def cornell_camera(res=32):
+    return cam.PerspectiveCamera.create((0, 0, -2.8), (res, res), fov_y=50.0,
+                                        look_at=(0, 0, 0))
+
+
+def test_config1_sphere_direct():
+    # BASELINE config 1: diffuse sphere + point light, direct lighting.
+    scene = sphere_scene()
+    camera = sphere_camera(32)
+    cfg = integ.RenderConfig(
+        resolution=(32, 32),
+        sampler=integ.SamplerConfig(kind="stratified", spp=4, xs=2, ys=2),
+        integrator="direct")
+    film, sensor = integ.render(scene, camera, cfg)
+    img = np.asarray(film.resolve(sensor, to_srgb=False, clip=False))
+    # background black, sphere lit, red channel dominates
+    assert img[1, 1].max() == 0.0
+    c = img[16, 16]
+    assert c[0] > 0.01
+    assert c[0] > c[1] and c[0] > c[2]
+    # upper-left of sphere (toward the light) brighter than lower-right
+    assert img[10, 18].sum() >= img[22, 10].sum()
+
+
+def test_render_deterministic():
+    scene = sphere_scene()
+    camera = sphere_camera(16)
+    cfg = integ.RenderConfig(
+        resolution=(16, 16),
+        sampler=integ.SamplerConfig(kind="independent", spp=2),
+        integrator="direct")
+    f1, s1 = integ.render(scene, camera, cfg)
+    f2, _ = integ.render(scene, camera, cfg)
+    np.testing.assert_array_equal(np.asarray(f1.rgb_sum),
+                                  np.asarray(f2.rgb_sum))
+
+
+def test_shadowing():
+    # A sphere above a disk casts a shadow from a high point light.
+    scene = Scene.build(
+        materials=[{"kind": "diffuse", "albedo_rgb": (0.8, 0.8, 0.8)}],
+        lights=[{"kind": "point", "position": (0.0, 5.0, 0.0),
+                 "spd_named": "stdillum-E", "scale": 0.25}],
+        spheres=[{"radius": 0.5,
+                  "transform": shp.make_transform((0.0, 1.5, 0.0)),
+                  "material": 0}],
+        disks=[{"radius": 3.0, "material": 0,
+                "transform": shp.make_transform((0, 0, 0), (-90, 0, 0))}],
+    )
+    camera = cam.PerspectiveCamera.create((0, 3.0, -4.5), (32, 32),
+                                          fov_y=45.0, look_at=(0, 0.5, 0))
+    cfg = integ.RenderConfig(
+        resolution=(32, 32),
+        sampler=integ.SamplerConfig(kind="stratified", spp=4, xs=2, ys=2),
+        integrator="direct")
+    film, sensor = integ.render(scene, camera, cfg)
+    img = np.asarray(film.resolve(sensor, to_srgb=False, clip=False))
+    lum = img.sum(axis=-1)
+    # the floor directly under the sphere is shadowed vs floor to the side
+    shadow_region = lum[18:21, 13:19].mean()
+    lit_region = lum[18:21, 2:8].mean()
+    assert shadow_region < 0.5 * lit_region
+
+
+def test_config2_cornell_path():
+    # BASELINE config 2 (small): Cornell box, path tracing with NEE.
+    scene = cornell_scene()
+    camera = cornell_camera(24)
+    cfg = integ.RenderConfig(
+        resolution=(24, 24),
+        sampler=integ.SamplerConfig(kind="sobol", spp=8),
+        integrator="path", max_depth=4)
+    film, sensor = integ.render(scene, camera, cfg)
+    img = np.asarray(film.resolve(sensor, to_srgb=False, clip=False))
+    assert np.isfinite(img).all()
+    assert img.mean() > 0.005  # light reaches the film
+    # color bleeding signs: left third reddish, right third greenish
+    left = img[8:20, 1:5].mean(axis=(0, 1))
+    right = img[8:20, 19:23].mean(axis=(0, 1))
+    assert left[0] > left[1]
+    assert right[1] > right[0]
+
+
+def test_nee_matches_random_walk():
+    # NEE and pure random-walk estimate the same integral (unbiasedness):
+    # compare mean image brightness on the Cornell box.
+    scene = cornell_scene()
+    camera = cornell_camera(12)
+    mean = {}
+    for integ_kind, spp in (("path", 32), ("walk", 256)):
+        cfg = integ.RenderConfig(
+            resolution=(12, 12),
+            sampler=integ.SamplerConfig(kind="sobol", spp=spp),
+            integrator=integ_kind, max_depth=4)
+        film, sensor = integ.render(scene, camera, cfg)
+        img = np.asarray(film.resolve(sensor, to_srgb=False, clip=False))
+        mean[integ_kind] = img.mean()
+    assert mean["path"] == pytest.approx(mean["walk"], rel=0.15)
+
+
+def test_furnace_energy_conservation():
+    # White (albedo 1) sphere in an ambient field: one diffuse bounce of NEE
+    # must return exactly the ambient radiance (f=1/pi integrates to 1).
+    scene = Scene.build(
+        materials=[{"kind": "diffuse", "albedo_rgb": (1.0, 1.0, 1.0)}],
+        lights=[{"kind": "ambient", "spd_named": "stdillum-E",
+                 "scale": 0.005}],
+        spheres=[{"radius": 1.0, "material": 0}],
+    )
+    camera = sphere_camera(16)
+    cfg = integ.RenderConfig(
+        resolution=(16, 16),
+        sampler=integ.SamplerConfig(kind="sobol", spp=64),
+        integrator="direct")
+    film, sensor = integ.render(scene, camera, cfg)
+    img = np.asarray(film.resolve(sensor, to_srgb=False, clip=False))
+    center = img[8, 8]
+    # E illuminant scaled 1.0 -> radiance 100 (spd units) * albedo ~1.
+    # Sensor/resolve normalizes via CIE_Y_INTEGRAL; the exact value equals
+    # the resolve of a constant-100 spectrum. Compare against that.
+    from computational_ray_tracer_tpu.ops import spectrum as spec
+    wl = spec.sample_visible_wavelengths(jnp.linspace(0.001, 0.999, 256))
+    L = jnp.full_like(wl.lam, 0.5)  # = 100 (E) * 0.005 scale
+    rgb = jnp.mean(sensor.to_sensor_rgb(L, wl), axis=0)
+    xyz = sensor.sensor_rgb_to_xyz(rgb)
+    from computational_ray_tracer_tpu.ops import color as c
+    expect = np.asarray(c.SRGB.to_rgb(xyz))
+    np.testing.assert_allclose(center, expect, rtol=0.08)
+
+
+def test_specular_mirror_reflects_scene():
+    # A mirror sphere inside the Cornell box picks up wall colors via the
+    # conductor path (Fresnel reflect capability, Shading.h:12-16).
+    pos, idx, uv, mats, (lc, le1, le2) = mesh_gen.cornell_box(2.0)
+    mesh = trimod.MeshData.build(pos, idx, uvs=uv)
+    scene = Scene.build(
+        materials=[
+            {"kind": "diffuse", "albedo_rgb": (0.73, 0.73, 0.73)},
+            {"kind": "diffuse", "albedo_rgb": (0.65, 0.05, 0.05)},
+            {"kind": "diffuse", "albedo_rgb": (0.12, 0.45, 0.15)},
+            {"kind": "diffuse", "albedo_rgb": (0, 0, 0),
+             "emission_rgb": (1.0, 0.9, 0.7), "emission_scale": 0.06},
+            {"kind": "conductor", "albedo_rgb": (1.0, 1.0, 1.0),
+             "metal": "metal-Ag"},
+        ],
+        lights=[{"kind": "quad", "corner": tuple(lc), "edge1": tuple(le1),
+                 "edge2": tuple(le2), "rgb": (1.0, 0.9, 0.7), "scale": 0.06}],
+        spheres=[{"radius": 0.45,
+                  "transform": shp.make_transform((0.0, -0.55, 0.2)),
+                  "material": 4}],
+        mesh=(mesh, jnp.asarray(mats)),
+        use_octree=False,
+    )
+    camera = cornell_camera(24)
+    cfg = integ.RenderConfig(
+        resolution=(24, 24),
+        sampler=integ.SamplerConfig(kind="sobol", spp=16),
+        integrator="path", max_depth=5)
+    film, sensor = integ.render(scene, camera, cfg)
+    img = np.asarray(film.resolve(sensor, to_srgb=False, clip=False))
+    assert np.isfinite(img).all()
+    # mirror region (image center-bottom) shows nonzero reflected light
+    assert img[16:22, 8:16].mean() > 0.002
