@@ -292,9 +292,16 @@ def _jit_pass(scene, camera_arrays, cfg, sample_idx):
     raise NotImplementedError  # placeholder; see render()
 
 
-def render(scene, camera, cfg: RenderConfig, film=None, progress=None):
+def render(scene, camera, cfg: RenderConfig, film=None, progress=None,
+           passes=None):
     """Progressive render: cfg.sampler.spp passes accumulated into a Film
-    (the MainLoop progressive accumulation, RayTracerTestApp.h:420-422)."""
+    (the MainLoop progressive accumulation, RayTracerTestApp.h:420-422).
+
+    Resume: pass a checkpointed ``film`` — rendering continues at
+    ``film.spp_done`` with identical sample values (counter-based RNG).
+    NOTE the sampler's stratification depends on the *total* ``spp``; a
+    partial render intended for later resume must use the same cfg and stop
+    early via ``passes``."""
     filter_obj = make_filter(cfg)
     sensor = make_sensor(cfg)
     if film is None:
@@ -306,7 +313,10 @@ def render(scene, camera, cfg: RenderConfig, film=None, progress=None):
                               sample_idx)
         return film_.add_aligned(rgb, wt)
 
-    for i in range(int(film.spp_done), cfg.sampler.spp):
+    start = int(film.spp_done)
+    stop = cfg.sampler.spp if passes is None else min(cfg.sampler.spp,
+                                                      start + passes)
+    for i in range(start, stop):
         film = one_pass(scene, film, jnp.uint32(i))
         if progress is not None:
             progress(i, film)

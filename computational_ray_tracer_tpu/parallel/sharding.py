@@ -155,7 +155,11 @@ def make_train_step(scene_template, camera, cfg, mesh: Mesh, param_labels,
         sp_idx = jax.lax.axis_index("sp").astype(jnp.uint32)
         rgb, fw = _pass_for_pixels(scene, camera, cfg, filter_obj, sensor,
                                    pixel, sample_idx + sp_idx)
-        rgb = jax.lax.pmean(rgb, "sp")
+        # filter-weighted average over the sp passes — identical estimator
+        # to the single-device Film resolve (rgb_sum / weight_sum)
+        rgb_sum = jax.lax.psum(rgb * fw[..., None], "sp")
+        wt_sum = jax.lax.psum(fw, "sp")
+        rgb = rgb_sum / jnp.maximum(wt_sum[..., None], 1e-12)
         err = (rgb - target_flat) ** 2
         # mean over the local pixel shard, then over dp
         return jax.lax.pmean(jnp.mean(err), "dp")
