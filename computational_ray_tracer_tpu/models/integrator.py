@@ -221,9 +221,12 @@ def _path_scan(scene, o, d, wl, pixel, sample_idx, cfg, use_nee):
             lam_pdf=lam_pdf)
         return state, None
 
-    state = init
-    for depth in range(cfg.max_depth):
-        state, _ = bounce(state, depth)
+    # One lax.scan over bounce depth (SURVEY §7 stance #1): the body is
+    # traced ONCE regardless of max_depth, keeping the HLO small and
+    # compile times flat as depth grows. depth is a traced scalar; all
+    # sample-dimension arithmetic and the RR gate are data arithmetic.
+    state, _ = jax.lax.scan(bounce, init,
+                            jnp.arange(cfg.max_depth, dtype=jnp.uint32))
     return state["L"], spec.SampledWavelengths(wl.lam, state["lam_pdf"])
 
 

@@ -47,22 +47,24 @@ class Scene:
     texture: Optional[jnp.ndarray]        # (Ht, Wt, 3) sigmoid coeffs image
     tri_mask: Optional[jnp.ndarray]       # (F,) backface-cull keep mask
     wr: float = 100.0                     # static world radius (aux data)
+    use_pallas: bool = False              # Pallas kernel for mesh intersect
 
     _FIELDS = ("spheres", "cylinders", "disks", "mesh", "octree",
                "materials", "lights", "sphere_mat", "cylinder_mat",
                "disk_mat", "mesh_tri_mat", "texture", "tri_mask")
 
     def tree_flatten(self):
-        return tuple(getattr(self, f) for f in self._FIELDS), self.wr
+        return (tuple(getattr(self, f) for f in self._FIELDS),
+                (self.wr, self.use_pallas))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, wr=aux)
+        return cls(*children, wr=aux[0], use_pallas=aux[1])
 
     @classmethod
     def build(cls, materials, lights, spheres=None, cylinders=None,
               disks=None, mesh=None, use_octree=True, texture_rgb=None,
-              backface_cull_dir=None):
+              backface_cull_dir=None, use_pallas=False):
         """Host-side scene assembly. Shape dicts carry a `material` index.
 
         texture_rgb: (H, W, 3) linear RGB image — pre-converted to sigmoid
@@ -117,7 +119,8 @@ class Scene:
                 r = max(r, float(jnp.max(jnp.abs(t.o2w[:, :3, 3]))) +
                         float(jnp.max(jnp.abs(t.radius))))
         return cls(sph, cyl, dsk, mesh, tree, mats, lts, sph_m, cyl_m,
-                   dsk_m, tri_mat, tex, tri_mask, wr=10.0 * r)
+                   dsk_m, tri_mat, tex, tri_mask, wr=10.0 * r,
+                   use_pallas=use_pallas)
 
     def world_radius(self):
         """Conservative scene bounding radius (static; safe under jit)."""
@@ -164,6 +167,10 @@ def scene_intersect(scene: Scene, o, d, t_max):
         if scene.octree is not None:
             tm, ti, mb1, mb2, tests = octmod.octree_traverse(
                 o, d, t_best, scene.octree, scene.mesh, scene.tri_mask)
+        elif scene.use_pallas:
+            from computational_ray_tracer_tpu.ops import pallas_intersect
+            tm, ti, mb1, mb2, tests = pallas_intersect.mesh_intersect_pallas(
+                o, d, t_best, scene.mesh, scene.tri_mask)
         else:
             tm, ti, mb1, mb2, tests = trimod.mesh_intersect_brute(
                 o, d, t_best, scene.mesh, scene.tri_mask)

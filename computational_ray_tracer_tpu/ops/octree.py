@@ -29,7 +29,12 @@ from computational_ray_tracer_tpu.ops import triangle as trimod
 from computational_ray_tracer_tpu.ops.shapes import fp_gamma
 
 TRIANGLE_CAPACITY = 40   # leaf split threshold (Octtree_Model.h:388)
-CHILD_PADDING = 0.01     # child bounds padding (Octtree_Model.h:279-358)
+# Child-bounds padding. The reference uses an ABSOLUTE 0.01 (Octtree_
+# Model.h:279-358) — tuned for its dragon-x15-scale scene (extent ~30, i.e.
+# ~3e-4 of the root extent). An absolute pad is pathological for unit-scale
+# meshes (every deep cell overlaps its neighbours' triangles), so the
+# default here is the same *relative* pad: 5e-4 x root max extent.
+CHILD_PADDING_FRAC = 5e-4
 MAX_DEPTH = 12
 # Worst-case stack growth is +7 per level (push 8, pop 1): 8*MAX_DEPTH + 8.
 STACK_SIZE = 128
@@ -124,11 +129,70 @@ class Octree:
 
 
 def build_octree(mesh: trimod.MeshData, capacity=TRIANGLE_CAPACITY,
-                 max_depth=MAX_DEPTH, padding=CHILD_PADDING):
+                 max_depth=MAX_DEPTH, padding=None,
+                 backend="auto"):
     """Top-down octree build over a (world-space) mesh. Returns an Octree of
     flat device tensors. Splits stop at `capacity` triangles, `max_depth`,
     or when splitting fails to separate (the abort rule,
-    Octtree_Model.h:331-340)."""
+    Octtree_Model.h:331-340).
+
+    backend: "native" (C++ builder), "numpy", or "auto" (native when
+    available, else numpy). Both produce identical trees.
+
+    padding: absolute child-bounds pad; None = CHILD_PADDING_FRAC x root
+    max extent (scale-invariant equivalent of the reference's 0.01)."""
+    if padding is None:
+        pos = np.asarray(mesh.positions)
+        padding = CHILD_PADDING_FRAC * float(
+            (pos.max(axis=0) - pos.min(axis=0)).max())
+    if backend in ("auto", "native"):
+        tree = _build_octree_native(mesh, capacity, max_depth, padding)
+        if tree is not None:
+            return tree
+        if backend == "native":
+            raise RuntimeError("native octree builder unavailable "
+                               "(g++ compile failed?)")
+    return _build_octree_numpy(mesh, capacity, max_depth, padding)
+
+
+def _build_octree_native(mesh, capacity, max_depth, padding):
+    """C++ builder (native/octree_builder.cpp) via ctypes; None if the
+    native library can't be built/loaded."""
+    import ctypes
+    from computational_ray_tracer_tpu import native
+
+    lib = native.load()
+    if lib is None:
+        return None
+    pos = np.ascontiguousarray(np.asarray(mesh.positions, np.float32))
+    idx = np.ascontiguousarray(np.asarray(mesh.indices, np.int32))
+    out = native.CrtOctree()
+    rc = lib.crt_build_octree(
+        pos.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), pos.shape[0],
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), idx.shape[0],
+        capacity, max_depth, float(padding), ctypes.byref(out))
+    if rc != 0:
+        return None
+    try:
+        M, L, cap = int(out.n_nodes), int(out.n_leaves), int(out.leaf_cap)
+        node_lo = np.ctypeslib.as_array(out.node_lo, (M, 3)).copy()
+        node_hi = np.ctypeslib.as_array(out.node_hi, (M, 3)).copy()
+        child0 = np.ctypeslib.as_array(out.node_child0, (M,)).copy()
+        leaf_id = np.ctypeslib.as_array(out.node_leaf_id, (M,)).copy()
+        leaf_tris = np.ctypeslib.as_array(out.leaf_tris, (L, cap)).copy()
+        leaf_counts = np.ctypeslib.as_array(out.leaf_counts, (L,)).copy()
+    finally:
+        lib.crt_free_octree(ctypes.byref(out))
+    return Octree(node_lo=jnp.asarray(node_lo), node_hi=jnp.asarray(node_hi),
+                  node_child0=jnp.asarray(child0),
+                  node_leaf_id=jnp.asarray(leaf_id),
+                  leaf_tris=jnp.asarray(leaf_tris),
+                  leaf_counts=jnp.asarray(leaf_counts))
+
+
+def _build_octree_numpy(mesh: trimod.MeshData, capacity=TRIANGLE_CAPACITY,
+                        max_depth=MAX_DEPTH, padding=0.01):
+    """Pure-NumPy reference builder (kept as fallback + test oracle)."""
     pos = np.asarray(mesh.positions, np.float64)
     idx = np.asarray(mesh.indices, np.int64)
     v0, v1, v2 = pos[idx[:, 0]], pos[idx[:, 1]], pos[idx[:, 2]]
