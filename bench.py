@@ -33,20 +33,26 @@ def main():
     filter_obj = integ.make_filter(cfg)
     sensor = integ.make_sensor(cfg)
 
+    # Chunked: CHUNK spp per device launch (lax.scan inside jit) so host
+    # dispatch overhead is amortized — one launch per chunk, not per spp.
+    chunk = int(os.environ.get("BENCH_CHUNK", "8"))
+
     @jax.jit
-    def one_pass(scene, sample_idx):
-        return integ.render_pass(scene, camera, cfg, filter_obj, sensor,
-                                 sample_idx)
+    def chunk_pass(scene, sample_idx):
+        return integ.render_passes(scene, camera, cfg, filter_obj, sensor,
+                                   sample_idx, chunk)
 
     # warmup/compile
-    rgb, wt = one_pass(scene, jnp.uint32(0))
+    rgb, wt = chunk_pass(scene, jnp.uint32(0))
     rgb.block_until_ready()
 
-    # timed passes (each pass = 1 spp over all pixels)
+    # timed passes (each chunk = `chunk` spp over all pixels)
     n_timed = int(os.environ.get("BENCH_PASSES", "32"))
+    n_chunks = max(1, n_timed // chunk)
+    n_timed = n_chunks * chunk
     t0 = time.perf_counter()
-    for i in range(n_timed):
-        rgb, wt = one_pass(scene, jnp.uint32(i + 1))
+    for i in range(n_chunks):
+        rgb, wt = chunk_pass(scene, jnp.uint32((i + 1) * chunk))
     rgb.block_until_ready()
     dt = time.perf_counter() - t0
 

@@ -289,14 +289,27 @@ def render_pass(scene, camera, cfg: RenderConfig, filter_obj, sensor,
     return rgb.reshape(h, w, 3), fw.reshape(h, w)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _jit_pass(scene, camera_arrays, cfg, sample_idx):
-    # camera objects are static dataclasses; closed over via cfg at call site
-    raise NotImplementedError  # placeholder; see render()
+def render_passes(scene, camera, cfg: RenderConfig, filter_obj, sensor,
+                  sample_idx0, n_passes: int):
+    """n_passes samples-per-pixel in ONE device program: lax.scan over the
+    sample index accumulating (rgb_sum, weight_sum). Amortizes host->device
+    dispatch overhead over the whole chunk (one launch instead of n)."""
+    w, h = cfg.resolution
+
+    def body(carry, k):
+        rgb_sum, wt_sum = carry
+        rgb, wt = render_pass(scene, camera, cfg, filter_obj, sensor,
+                              sample_idx0 + k)
+        return (rgb_sum + rgb * wt[..., None], wt_sum + wt), None
+
+    init = (jnp.zeros((h, w, 3)), jnp.zeros((h, w)))
+    (rgb_sum, wt_sum), _ = jax.lax.scan(
+        body, init, jnp.arange(n_passes, dtype=jnp.uint32))
+    return rgb_sum, wt_sum
 
 
 def render(scene, camera, cfg: RenderConfig, film=None, progress=None,
-           passes=None):
+           passes=None, chunk=1):
     """Progressive render: cfg.sampler.spp passes accumulated into a Film
     (the MainLoop progressive accumulation, RayTracerTestApp.h:420-422).
 
@@ -304,23 +317,31 @@ def render(scene, camera, cfg: RenderConfig, film=None, progress=None,
     ``film.spp_done`` with identical sample values (counter-based RNG).
     NOTE the sampler's stratification depends on the *total* ``spp``; a
     partial render intended for later resume must use the same cfg and stop
-    early via ``passes``."""
+    early via ``passes``.
+
+    chunk: samples per device launch (lax.scan inside jit). chunk=1 keeps
+    per-spp progress callbacks; larger chunks amortize dispatch overhead."""
     filter_obj = make_filter(cfg)
     sensor = make_sensor(cfg)
     if film is None:
         film = filmmod.Film.create(cfg.resolution)
 
-    @jax.jit
-    def one_pass(scene_, film_, sample_idx):
-        rgb, wt = render_pass(scene_, camera, cfg, filter_obj, sensor,
-                              sample_idx)
-        return film_.add_aligned(rgb, wt)
+    @partial(jax.jit, static_argnames=("n",))
+    def chunk_pass(scene_, film_, sample_idx, n):
+        rgb_sum, wt_sum = render_passes(scene_, camera, cfg, filter_obj,
+                                        sensor, sample_idx, n)
+        return filmmod.Film(film_.rgb_sum + rgb_sum,
+                            film_.weight_sum + wt_sum,
+                            film_.spp_done + n)
 
     start = int(film.spp_done)
     stop = cfg.sampler.spp if passes is None else min(cfg.sampler.spp,
                                                       start + passes)
-    for i in range(start, stop):
-        film = one_pass(scene, film, jnp.uint32(i))
+    i = start
+    while i < stop:
+        n = min(chunk, stop - i)
+        film = chunk_pass(scene, film, jnp.uint32(i), n)
+        i += n
         if progress is not None:
-            progress(i, film)
+            progress(i - 1, film)
     return film, sensor
