@@ -114,7 +114,7 @@ def li_direct(scene, o, d, wl, pixel, sample_idx, cfg):
     f·Li·cos/pdf with a shadow ray."""
     t_max = jnp.full(o.shape[:-1], jnp.inf)
     si, mid, _ = scene_intersect(scene, o, d, t_max)
-    mrow = jax.tree_util.tree_map(lambda x: x[mid], scene.materials)
+    mrow = mat.MaterialView.create(scene.materials, mid)
     L = jnp.where(si.valid[..., None],
                   mat.material_emission(mrow, wl.lam), 0.0)
 
@@ -158,7 +158,7 @@ def _path_scan(scene, o, d, wl, pixel, sample_idx, cfg, use_nee):
         t_max = jnp.where(alive, jnp.inf, -1.0)
         si, mid, _ = scene_intersect(scene, o, d, t_max)
         hit = si.valid & alive
-        mrow = jax.tree_util.tree_map(lambda x: x[mid], scene.materials)
+        mrow = mat.MaterialView.create(scene.materials, mid)
         tex = _tex_coeffs(scene, si)
 
         # Emitted radiance: counted on camera/specular prefixes always;

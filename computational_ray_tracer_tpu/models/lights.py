@@ -115,7 +115,8 @@ def sample_light(table: LightTable, p, n, lam, u_light, u_pos,
     li = jnp.clip((jax.lax.stop_gradient(u_light) * nl).astype(jnp.int32),
                   0, nl - 1)
     kind = table.kind[li]
-    spd_at = spec.sample_dense(table.spd[li], lam) * table.scale[li][..., None]
+    spd_at = (spec.sample_dense_rows(table.spd, li, lam)
+              * table.scale[li][..., None])
 
     # --- point
     to_l = table.position[li] - p

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+from typing import Any
 
 import numpy as np
 import jax
@@ -182,6 +183,56 @@ def _gather(mat: MaterialTable, mid):
     return jax.tree_util.tree_map(lambda x: x[mid], mat)
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class MaterialView:
+    """Lazy per-ray view into a MaterialTable: small fields gathered
+    eagerly, dense (M, 471) SPD fields left in place and fetched with a
+    single fused (row, wavelength) gather at evaluation time — avoids
+    materializing (N, 471) rows per bounce (the former hot-path gather)."""
+    kind: Any                  # (N,)  gathered
+    albedo_coeffs: Any         # (N, 3) gathered
+    use_texture: Any           # (N,)  gathered
+    emission_table: Any        # (M, 471) ungathered
+    eta_table: Any             # (M, 471)
+    k_table: Any               # (M, 471)
+    mid: Any                   # (N,) row index
+
+    def tree_flatten(self):
+        return (self.kind, self.albedo_coeffs, self.use_texture,
+                self.emission_table, self.eta_table, self.k_table,
+                self.mid), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @classmethod
+    def create(cls, table: MaterialTable, mid):
+        return cls(table.kind[mid], table.albedo_coeffs[mid],
+                   table.use_texture[mid], table.emission, table.eta,
+                   table.k, mid)
+
+
+def _emission_at(mat_row, lam):
+    if isinstance(mat_row, MaterialView):
+        return spec.sample_dense_rows(mat_row.emission_table, mat_row.mid,
+                                      lam)
+    return spec.sample_dense(mat_row.emission, lam)
+
+
+def _eta_at(mat_row, lam):
+    if isinstance(mat_row, MaterialView):
+        return spec.sample_dense_rows(mat_row.eta_table, mat_row.mid, lam)
+    return spec.sample_dense(mat_row.eta, lam)
+
+
+def _k_at(mat_row, lam):
+    if isinstance(mat_row, MaterialView):
+        return spec.sample_dense_rows(mat_row.k_table, mat_row.mid, lam)
+    return spec.sample_dense(mat_row.k, lam)
+
+
 def material_albedo(mat_row, lam, tex_rgb_coeffs=None):
     """Spectral reflectance at the hero wavelengths; optionally modulated by
     a texture's own sigmoid coefficients (the uvmap fetch of
@@ -195,8 +246,8 @@ def material_albedo(mat_row, lam, tex_rgb_coeffs=None):
 
 
 def material_emission(mat_row, lam):
-    """Emitted radiance at the hero wavelengths (dense gather)."""
-    return spec.sample_dense(mat_row.emission, lam)
+    """Emitted radiance at the hero wavelengths (fused dense gather)."""
+    return _emission_at(mat_row, lam)
 
 
 def bsdf_eval(mat_row, n, wo, wi, lam, tex_rgb_coeffs=None):
@@ -237,8 +288,8 @@ def bsdf_sample(mat_row, n, wo, u2, u1, lam, wl_pdf=None,
     # --- Conductor: mirror reflection with spectral Fresnel
     wi_spec = reflect(wo, n)
     cos_i = jnp.abs(jnp.sum(n * wo, axis=-1))
-    eta_s = spec.sample_dense(mat_row.eta, lam)       # (..., S)
-    k_s = spec.sample_dense(mat_row.k, lam)
+    eta_s = _eta_at(mat_row, lam)                     # (..., S)
+    k_s = _k_at(mat_row, lam)
     fr_cond = fresnel_conductor(cos_i[..., None], eta_s, k_s)
     w_cond = fr_cond * colorlib.sigmoid_polynomial(mat_row.albedo_coeffs, lam)
 

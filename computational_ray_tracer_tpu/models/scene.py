@@ -239,14 +239,46 @@ def _empty_surface(o, d, t):
         wo=-d)
 
 
+def scene_anyhit(scene: Scene, o, d, t_max):
+    """Boolean any-hit test (Shape::IntersectP capability): does ANY shape
+    intersect in (0, t_max)? Skips all the closest-hit machinery the shadow
+    ray doesn't need — no winner argmin, no surface-info gathers (~2x less
+    work than scene_intersect on the NEE path)."""
+    hit = jnp.zeros(o.shape[:-1], bool)
+    if scene.spheres is not None:
+        t_all = shp.sphere_intersect_t(o, d, t_max, scene.spheres)
+        hit = hit | jnp.any(t_all < t_max[..., None], axis=-1)
+    if scene.cylinders is not None:
+        t_all = shp.cylinder_intersect_t(o, d, t_max, scene.cylinders)
+        hit = hit | jnp.any(t_all < t_max[..., None], axis=-1)
+    if scene.disks is not None:
+        t_all = shp.disk_intersect_t(o, d, t_max, scene.disks)
+        hit = hit | jnp.any(t_all < t_max[..., None], axis=-1)
+    if scene.mesh is not None:
+        # Shrink t_max for already-occluded rays to 0 so the traversal's
+        # box/triangle tests prune immediately (lockstep early-out).
+        t_m = jnp.where(hit, 0.0, t_max)
+        if scene.octree is not None:
+            tm, ti, *_ = octmod.octree_traverse(
+                o, d, t_m, scene.octree, scene.mesh, scene.tri_mask)
+            hit = hit | (jnp.isfinite(tm) & (ti >= 0))
+        elif scene.use_pallas:
+            from computational_ray_tracer_tpu.ops import pallas_intersect
+            tm, ti, *_ = pallas_intersect.mesh_intersect_pallas(
+                o, d, t_m, scene.mesh, scene.tri_mask)
+            hit = hit | (ti >= 0)
+        else:
+            tm, ti, *_ = trimod.mesh_intersect_brute(
+                o, d, t_m, scene.mesh, scene.tri_mask)
+            hit = hit | jnp.isfinite(tm)
+    return hit
+
+
 def scene_occluded(scene: Scene, p, wi, dist, eps=1e-3):
-    """Shadow-ray predicate: is anything between p and p + wi*dist?
-    (Shape::IntersectP capability). Uses the same traversal with a shortened
-    t_max; any-hit == closest-hit t < dist here."""
+    """Shadow-ray predicate: is anything between p and p + wi*dist?"""
     o = p + wi * eps
     t_max = jnp.full(p.shape[:-1], 1.0) * (dist - 2.0 * eps)
-    si, _, _ = scene_intersect(scene, o, wi, t_max)
-    return si.valid
+    return scene_anyhit(scene, o, wi, t_max)
 
 
 def texture_lookup(texture, uv):

@@ -93,6 +93,10 @@ def permutation_element(i, n, p):
     < n, and the restriction is a permutation of [0, n). Same decorrelation
     role as the reference's PermutationElement (Util/HelperFunctions.h:175).
     """
+    # Static power-of-two fast path: the masked scramble is already a
+    # bijection on [0, n), so no cycle walking is needed (skips the
+    # while_loop entirely — spp is almost always a power of two).
+    n_static = n if isinstance(n, int) else None
     i = _u32(i)
     n = _u32(n)
     p = _u32(p)
@@ -117,6 +121,9 @@ def permutation_element(i, n, p):
             x = x ^ ((p >> jnp.uint32(16)) & w)
             x = x ^ (x >> jnp.uint32(2))
         return x & w
+
+    if n_static is not None and n_static & (n_static - 1) == 0:
+        return ((scramble(i) + p) % n).astype(jnp.uint32)
 
     def cond(x):
         return jnp.any(x >= n)
@@ -202,16 +209,22 @@ N_SOBOL_DIMS = SOBOL_MATRICES.shape[0]
 
 def sobol_sample_u32(index, dim):
     """Raw 32-bit Sobol' value of point `index` in dimension `dim`
-    (elementwise over batches)."""
+    (elementwise over batches).
+
+    Vectorized over the 32 index bits (mask-select + XOR tree reduction)
+    instead of a 32-step sequential fori_loop — the loop serializes the VPU
+    and was the dominant cost of every Sobol draw on TPU."""
     index = _u32(index)
     dim = _u32(dim)
-    cols = _SOBOL_J[dim]  # (..., 32) after gather
-
-    def body(k, v):
-        bit = (index >> _u32(k)) & jnp.uint32(1)
-        return v ^ (cols[..., k] * bit)
-
-    return jax.lax.fori_loop(0, 32, body, jnp.zeros_like(index))
+    cols = _SOBOL_J[dim]                      # (..., 32) after gather
+    ks = jnp.arange(32, dtype=jnp.uint32)
+    bits = (index[..., None] >> ks) & jnp.uint32(1)   # (..., 32)
+    terms = cols * bits
+    # XOR tree reduction over the bit axis: 5 vectorized steps.
+    v = terms
+    for half in (16, 8, 4, 2, 1):
+        v = v[..., :half] ^ v[..., half:2 * half]
+    return v[..., 0]
 
 
 def _reverse_bits32(x):

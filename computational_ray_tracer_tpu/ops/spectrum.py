@@ -154,6 +154,27 @@ def sample_dense(table, lam):
     return jnp.where(inside, v, 0.0)
 
 
+def sample_dense_rows(table, rows, lam):
+    """Interpolate per-ray rows of a dense SPD table at the hero
+    wavelengths in ONE fused gather: table (M, 471), rows (...,) int32,
+    lam (..., S) -> (..., S).
+
+    Equivalent to ``sample_dense(table[rows], lam)`` but never materializes
+    the (..., 471) gathered rows — (S/471)x less gather traffic on the hot
+    path (materials/lights evaluate 3-4 dense tables per bounce)."""
+    table = jnp.asarray(table)
+    x = lam - LAMBDA_MIN
+    i0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, data.N_DENSE - 2)
+    w = jnp.clip(x - i0.astype(lam.dtype), 0.0, 1.0)
+    base = rows[..., None].astype(jnp.int32) * data.N_DENSE
+    flat = table.reshape(-1)
+    v0 = flat[base + i0]
+    v1 = flat[base + i0 + 1]
+    v = v0 * (1.0 - w) + v1 * w
+    inside = (lam >= LAMBDA_MIN) & (lam <= LAMBDA_MAX)
+    return jnp.where(inside, v, 0.0)
+
+
 # ---------------------------------------------------------------------------
 # Spectrum distribution classes (pytrees with __call__(lam) -> values)
 # ---------------------------------------------------------------------------
