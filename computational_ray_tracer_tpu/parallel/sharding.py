@@ -193,3 +193,33 @@ def make_train_step(scene_template, camera, cfg, mesh: Mesh, param_labels,
         return opt.init(params)
 
     return train_step, init, sensor
+
+
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None):
+    """Multi-host bring-up (SURVEY §5 distributed-communication plan):
+    ``jax.distributed.initialize`` per host, then a global mesh over every
+    chip in the slice. Collectives ride ICI within a slice (psum of film /
+    gradients), DCN across slices — XLA picks the transport from the mesh
+    device order. No-op on a single process.
+
+    Returns (n_processes, global_device_count)."""
+    import jax
+
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    return jax.process_count(), len(jax.devices())
+
+
+def global_mesh(n_sp=1):
+    """Mesh spanning every addressable chip across all hosts:
+    ('dp', 'sp') with dp = total_chips / n_sp. Host boundaries fall on the
+    dp axis so the sp (pixel-shard) collectives stay intra-host/ICI."""
+    import jax
+
+    devs = jax.devices()
+    n = len(devs)
+    assert n % n_sp == 0, f"{n} devices not divisible by sp={n_sp}"
+    return make_mesh(n_dp=n // n_sp, n_sp=n_sp, devices=devs)

@@ -116,3 +116,12 @@ def test_sharded_gradients_match_unsharded():
     np.testing.assert_allclose(np.asarray(g_sh["albedo_coeffs"]),
                                np.asarray(g_ref["albedo_coeffs"]),
                                rtol=1e-3, atol=1e-7)
+
+
+def test_global_mesh_and_init():
+    from computational_ray_tracer_tpu.parallel import sharding as par
+    n_proc, n_dev = par.init_distributed()     # single-process no-op
+    assert n_proc == 1 and n_dev >= 8
+    m = par.global_mesh(n_sp=2)
+    assert dict(m.shape)["sp"] == 2
+    assert dict(m.shape)["dp"] * 2 == n_dev
