@@ -38,7 +38,7 @@ def config1_sphere_direct(scale):
     scene = Scene.build(
         materials=[{"kind": "diffuse", "albedo_rgb": (0.6, 0.3, 0.25)}],
         lights=[{"kind": "point", "position": (3.0, 4.0, -3.0),
-                 "rgb": (1.0, 1.0, 1.0), "scale": 0.5}],
+                 "rgb": (1.0, 1.0, 1.0), "scale": 50.0}],
         spheres=[{"radius": 1.0, "transform": shp.make_transform((0, 0, 0)),
                   "material": 0}])
     camera = cam.PerspectiveCamera.create((0, 0, -4), (res, res), fov_y=40.0,
@@ -76,10 +76,10 @@ def config2_cornell_path(scale):
                    {"kind": "diffuse", "albedo_rgb": (0.12, 0.45, 0.15)},
                    {"kind": "diffuse", "albedo_rgb": (0, 0, 0),
                     "emission_rgb": (1.0, 0.85, 0.6),
-                    "emission_scale": 0.06}],
+                    "emission_scale": 6.0}],
         lights=[{"kind": "quad", "corner": tuple(lc), "edge1": tuple(le1),
                  "edge2": tuple(le2), "rgb": (1.0, 0.85, 0.6),
-                 "scale": 0.06}],
+                 "scale": 6.0}],
         mesh=(mesh, jnp.asarray(mats)), use_octree=False)
     camera = cam.PerspectiveCamera.create((0, 0, -2.8), (res, res),
                                           fov_y=50.0, look_at=(0, 0, 0))
@@ -122,7 +122,7 @@ def config3_mesh_octree_textured(scale):
         materials=[{"kind": "diffuse", "albedo_rgb": (1.0, 1.0, 1.0),
                     "use_texture": True}],
         lights=[{"kind": "distant", "direction": (-0.3, -1.0, 0.4),
-                 "rgb": (1.0, 1.0, 1.0), "scale": 0.4}],
+                 "rgb": (1.0, 1.0, 1.0), "scale": 40.0}],
         mesh=(mesh, jnp.zeros((mesh.n_triangles,), jnp.int32)),
         use_octree=True, texture_rgb=tex)
     camera = cam.PerspectiveCamera.create((0, 0.6, -3.2), (res, res),
@@ -217,10 +217,10 @@ def config5_inverse(scale):
                        {"kind": "diffuse", "albedo_rgb": albedos[2]},
                        {"kind": "diffuse", "albedo_rgb": (0, 0, 0),
                         "emission_rgb": (1.0, 0.85, 0.6),
-                        "emission_scale": 0.06}],
+                        "emission_scale": 6.0}],
             lights=[{"kind": "quad", "corner": tuple(lc),
                      "edge1": tuple(le1), "edge2": tuple(le2),
-                     "rgb": (1.0, 0.85, 0.6), "scale": 0.06}],
+                     "rgb": (1.0, 0.85, 0.6), "scale": 6.0}],
             mesh=(mesh, jnp.asarray(mats)), use_octree=False)
 
     target_scene = build([(0.73, 0.73, 0.73), (0.65, 0.05, 0.05),

@@ -9,7 +9,7 @@ import os
 import numpy as np
 
 
-def flagship_scene_spec(light_scale=0.06):
+def flagship_scene_spec(light_scale=6.0):
     return {
         "render": {"resolution": [256, 256], "integrator": "path",
                    "max_depth": 5,

@@ -22,7 +22,7 @@ def main(outdir="out", res=128):
 
     os.makedirs(outdir, exist_ok=True)
     mats = [{"kind": "diffuse", "albedo_rgb": (0.7, 0.7, 0.7)}]
-    lights = [{"kind": "ambient", "spd_named": "stdillum-E", "scale": 0.01}]
+    lights = [{"kind": "ambient", "spd_named": "stdillum-E", "scale": 1.0}]
 
     scenes = {
         "sphere": Scene.build(mats, lights, spheres=[

@@ -100,7 +100,7 @@ class Scene:
             from computational_ray_tracer_tpu.ops import color as colorlib
             img = jnp.asarray(np.asarray(texture_rgb, np.float32))
             h, w, _ = img.shape
-            table = colorlib.RGBToSpectrumTable.generate(res=16)
+            table = colorlib.RGBToSpectrumTable.srgb()
             tex = table.lookup(img.reshape(-1, 3)).reshape(h, w, 3)
 
         mats = (materials if isinstance(materials, MaterialTable)

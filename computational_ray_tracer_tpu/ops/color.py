@@ -365,6 +365,18 @@ class RGBToSpectrumTable:
     coeffs: jnp.ndarray  # (res, res, res, 3)
 
     @classmethod
+    def srgb(cls):
+        """The shipped 64^3 sRGB table (same resolution as the reference's
+        sRGB64binary, color.cpp:114 — which was NOT committed there and broke
+        at startup; ours is in-package). Cached per process."""
+        if "srgb64" not in _FIT_CACHE:
+            import os
+            path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "data", "rgb2spec_srgb_64.npy")
+            _FIT_CACHE["srgb64"] = cls.generate(res=64, cache_path=path)
+        return _FIT_CACHE["srgb64"]
+
+    @classmethod
     def generate(cls, res=32, colorspace=None, cache_path=None):
         import os
         cs = colorspace or SRGB

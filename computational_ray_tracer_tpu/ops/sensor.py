@@ -9,10 +9,11 @@ TPU-first: all calibration (the least-squares solve) happens host-side at
 sensor construction in float64; the per-sample ``to_sensor_rgb`` is one fused
 gather+mean over the 8-wavelength axis on device.
 
-The reference embeds measured swatch reflectances (pixelsensor.cpp:244-270);
-we *synthesize* the 24 swatches from the published ColorChecker sRGB values
-through our own sigmoid-polynomial spectral upsampling — same calibration
-pipeline, self-contained data.
+Calibration uses the measured BabelColor ColorChecker swatch reflectances
+(the dataset behind pixelsensor.cpp:244-270, shipped dense in
+``data/spectra_tables.npz``). A sigmoid-polynomial synthesis path from the
+published sRGB patch values is kept as an independent oracle
+(`macbeth_reflectances(synthetic=True)`).
 """
 
 from __future__ import annotations
@@ -41,8 +42,13 @@ MACBETH_SRGB = np.array([
 _SWATCH_CACHE = {}
 
 
-def macbeth_reflectances():
-    """(24, 471) dense reflectance spectra of the ColorChecker patches."""
+def macbeth_reflectances(synthetic=False):
+    """(24, 471) dense reflectance spectra of the ColorChecker patches.
+
+    Default: the measured BabelColor dataset. `synthetic=True` upsamples the
+    published sRGB patch values through the rgb2spec fit instead (oracle)."""
+    if not synthetic:
+        return np.asarray(data.MACBETH_SWATCHES, dtype=np.float64)
     if "swatches" not in _SWATCH_CACHE:
         lin = np.asarray(colorlib.srgb_to_linear(jnp.asarray(MACBETH_SRGB)))
         coeffs = colorlib.fit_rgb_to_spectrum(jnp.asarray(lin, jnp.float32))

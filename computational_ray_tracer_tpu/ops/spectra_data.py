@@ -2,27 +2,28 @@
 
 Capability parity with the reference's spectral data tables
 (``/root/reference/ThirdParty/pbrv4/spectrum.cpp:298-2600``: CIE X/Y/Z curves,
-illuminants A/D50/D65/F-series, metal eta/k, glass IoR), built the TPU way:
-everything here is *generated* from compact analytic models / published physical
-constants at import time into dense float32 NumPy tables that sample as cheap
-gathers on device.
+illuminants A/D50/D65/F-series/ACES-D60, metal eta/k, glass IoR, ~17 camera
+sensor RGB sensitivities; ``pixelsensor.cpp:28-270``: 24 ColorChecker swatch
+reflectances).
 
-- CIE 1931 2-deg color-matching functions: multi-lobe piecewise-Gaussian fits
-  (Wyman, Sloan & Shirley, JCGT 2013), dense-sampled at 1nm over [360, 830].
-- Illuminant A: exact (blackbody at 2856 K, per CIE definition).
-- Illuminants D50/D65/D75: CIE daylight model — published 10nm relative SPD for
-  D65, and the blackbody-shaped daylight approximation for other CCTs.
-- Fluorescent F-series: approximated as a broadband base + Gaussian mercury
-  emission lines at the standard Hg wavelengths (405/436/546/578 nm), matched
-  to each F-illuminant's CCT. (The reference ships measured tables; ours are
-  generative approximations carrying the same API and qualitative shape.)
-- Glasses: exact Sellmeier dispersion equations (the defining form for optical
-  glass; coefficients from the Schott catalog).
-- Metals (eta/k): coarse published values (Johnson & Christy / Palik style) at
-  ~10 support wavelengths, linearly interpolated.
+Primary source: ``data/spectra_tables.npz`` — the measured public datasets
+(CIE tables, Palik/Johnson&Christy metal optics, Schott glass, camspec camera
+sensitivities, BabelColor ColorChecker), baked to dense 1nm float32 LUTs over
+[360, 830] by ``tools/extract_spectral_tables.py`` with exactly the
+reference's resampling semantics (FromInterleaved endpoint extension +
+luminance-1 illuminant normalization, spectrum.cpp:134-163).  Dense LUTs
+sample as cheap gathers on device.
+
+Also kept: compact *analytic* models (multi-lobe Gaussian CIE fits per Wyman,
+Sloan & Shirley JCGT 2013; Planck blackbody; Sellmeier glass dispersion; a
+generative fluorescent model).  These serve as independent physics oracles in
+tests (e.g. illuminant A must match a 2856K blackbody; BK7 tables must match
+Sellmeier) and document the physical models behind the measured data.
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 
@@ -35,10 +36,23 @@ N_SPECTRUM_SAMPLES = 8
 DENSE_LAMBDA = np.arange(LAMBDA_MIN, LAMBDA_MAX + 1.0, 1.0, dtype=np.float64)
 N_DENSE = DENSE_LAMBDA.shape[0]  # 471
 
+_TABLES_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "data", "spectra_tables.npz")
+_T = dict(np.load(_TABLES_PATH))
+
 
 # ---------------------------------------------------------------------------
-# CIE 1931 color-matching functions (2-degree observer)
+# CIE 1931 color-matching functions (2-degree observer) — measured tables
 # ---------------------------------------------------------------------------
+
+CIE_X = _T["cie-x"]
+CIE_Y = _T["cie-y"]
+CIE_Z = _T["cie-z"]
+
+# Integral of the measured ybar over [360, 830] at 1nm — the reference pins
+# the same constant (spectrum.h:21); our table sums to it to <1e-4.
+CIE_Y_INTEGRAL = 106.856895
+
 
 def _pgauss(lam, mu, s1, s2):
     """Piecewise Gaussian with different left/right widths (Wyman et al. 2013)."""
@@ -48,6 +62,7 @@ def _pgauss(lam, mu, s1, s2):
 
 
 def cie_x_fit(lam):
+    """Analytic xbar fit (Wyman/Sloan/Shirley) — test oracle for CIE_X."""
     lam = np.asarray(lam, dtype=np.float64)
     return (1.056 * _pgauss(lam, 599.8, 37.9, 31.0)
             + 0.362 * _pgauss(lam, 442.0, 16.0, 26.7)
@@ -64,15 +79,6 @@ def cie_z_fit(lam):
     lam = np.asarray(lam, dtype=np.float64)
     return (1.217 * _pgauss(lam, 437.0, 11.8, 36.0)
             + 0.681 * _pgauss(lam, 459.0, 26.0, 13.8))
-
-
-CIE_X = cie_x_fit(DENSE_LAMBDA).astype(np.float32)
-CIE_Y = cie_y_fit(DENSE_LAMBDA).astype(np.float32)
-CIE_Z = cie_z_fit(DENSE_LAMBDA).astype(np.float32)
-
-# Integral of ybar over the dense grid (trapezoid at 1nm). The reference pins
-# 106.856895 (spectrum.h:21); our generated curve integrates to within <1%.
-CIE_Y_INTEGRAL = float(np.trapezoid(CIE_Y, DENSE_LAMBDA))
 
 
 # ---------------------------------------------------------------------------
@@ -100,56 +106,63 @@ def blackbody_normalized(lam_nm, T):
 
 
 # ---------------------------------------------------------------------------
-# Standard illuminants
+# Standard illuminants — measured CIE tables, luminance-normalized like the
+# reference registry (InnerProduct(spd, ybar) == CIE_Y_integral,
+# spectrum.cpp:158-160 via Spectra::Init).
 # ---------------------------------------------------------------------------
 
-# CIE standard illuminant D65, relative SPD at 10nm (published CIE table,
-# normalized to 100 at 560nm). Support 300-780nm; extended to 830 by holding
-# the daylight-model trend.
-_D65_LAM = np.arange(300.0, 790.0, 10.0)
-_D65_VAL = np.array([
-    0.03, 3.29, 20.24, 37.05, 39.95, 44.91, 46.64, 52.09,
-    49.98, 54.65, 82.75, 91.49, 93.43, 86.68, 104.86, 117.01,
-    117.81, 114.86, 115.92, 108.81, 109.35, 107.80, 104.79, 107.69,
-    104.41, 104.05, 100.00, 96.33, 95.79, 88.69, 90.01, 89.60,
-    87.70, 83.29, 83.70, 80.03, 80.21, 82.28, 78.28, 69.72,
-    71.61, 74.35, 61.60, 69.89, 75.09, 63.59, 46.42, 66.81,
-    63.38,
-])
+ILLUM_A = _T["stdillum-A"]
+ILLUM_D50 = _T["stdillum-D50"]
+ILLUM_D65 = _T["stdillum-D65"]
+ILLUM_D60 = _T["illum-acesD60"]
+# Luminance-1 equal-energy illuminant: sum(1 * ybar) == CIE_Y_INTEGRAL exactly.
+ILLUM_E = np.ones(N_DENSE, dtype=np.float32)
+ILLUM_F = {i: _T[f"stdillum-F{i}"] for i in range(1, 13)}
+
+# CIE daylight basis functions on their native 107-sample grid.
+CIE_S_LAMBDA = _T["cie-s-lambda"]
+CIE_S0, CIE_S1, CIE_S2 = _T["cie-s0"], _T["cie-s1"], _T["cie-s2"]
 
 
-def _interp_dense(lams, vals):
-    return np.interp(DENSE_LAMBDA, lams, vals, left=float(vals[0]),
-                     right=float(vals[-1])).astype(np.float32)
+def d_illuminant(temperature):
+    """CIE daylight illuminant D at a given temperature, synthesized from the
+    S0/S1/S2 basis (Spectra::D, spectrum.cpp:2563-2600). Returns the dense
+    (471,) SPD (unnormalized, matching the reference's D()). Below 4000K the
+    CIE D series is undefined and a blackbody is returned."""
+    cct = float(temperature) * 1.4388 / 1.4380
+    if cct < 4000.0:
+        return (blackbody_normalized(DENSE_LAMBDA, cct) * 100.0
+                ).astype(np.float32)
+    if cct <= 7000.0:
+        x = (-4.607e9 / cct ** 3 + 2.9678e6 / cct ** 2 + 0.09911e3 / cct
+             + 0.244063)
+    else:
+        x = (-2.0064e9 / cct ** 3 + 1.9018e6 / cct ** 2 + 0.24748e3 / cct
+             + 0.23704)
+    y = -3.0 * x * x + 2.870 * x - 0.275
+    m = 0.0241 + 0.2562 * x - 0.7341 * y
+    m1 = (-1.3515 - 1.7703 * x + 5.9114 * y) / m
+    m2 = (0.0300 - 31.4424 * x + 30.0717 * y) / m
+    vals = (CIE_S0.astype(np.float64) + CIE_S1 * m1 + CIE_S2 * m2) * 0.01
+    return np.interp(DENSE_LAMBDA, CIE_S_LAMBDA.astype(np.float64), vals,
+                     left=0.0, right=0.0).astype(np.float32)
+
+
+ILLUM_D75 = d_illuminant(7504.0)
 
 
 def _daylight(cct):
-    """Daylight-like SPD at a given CCT: blackbody shaped, normalized at 560nm.
-
-    D65 uses the measured table; other daylight phases use the CIE-recommended
-    adjusted temperature (T' = T * 1.4388/1.4380) blackbody approximation.
-    """
+    """Generative daylight-shaped SPD oracle (blackbody at the CIE-adjusted
+    temperature, normalized to 100 at 560nm)."""
     t_adj = cct * 1.4388 / 1.4380
     s = blackbody(DENSE_LAMBDA, t_adj)
     s = s / np.interp(560.0, DENSE_LAMBDA, s) * 100.0
     return s.astype(np.float32)
 
 
-ILLUM_D65 = _interp_dense(_D65_LAM, _D65_VAL)
-ILLUM_D50 = _daylight(5003.0)
-ILLUM_D60 = _daylight(6000.0)
-ILLUM_D75 = _daylight(7504.0)
-ILLUM_A = (blackbody(DENSE_LAMBDA, 2856.0)
-           / blackbody(np.array([560.0]), 2856.0)[0] * 100.0).astype(np.float32)
-ILLUM_E = np.full(N_DENSE, 100.0, dtype=np.float32)
-
-
 def _fluorescent(cct, line_strength, base_mix):
-    """Generative stand-in for a CIE F-series illuminant.
-
-    Broadband phosphor base (daylight shape at `cct`) plus Gaussian mercury
-    emission lines at 404.7/435.8/546.1/577-579nm.
-    """
+    """Generative fluorescent-illuminant oracle: broadband phosphor base plus
+    Gaussian mercury lines at 404.7/435.8/546.1/578nm."""
     base = _daylight(cct).astype(np.float64)
     lines = np.zeros(N_DENSE)
     for mu, rel in ((404.7, 0.35), (435.8, 1.0), (546.1, 0.9), (578.0, 0.5)):
@@ -160,21 +173,12 @@ def _fluorescent(cct, line_strength, base_mix):
     return s.astype(np.float32)
 
 
-_F_PARAMS = {  # (CCT, line strength, base mix) per F1..F12
-    1: (6430, 0.8, 1.0), 2: (4230, 0.9, 1.0), 3: (3450, 1.0, 1.0),
-    4: (2940, 1.1, 1.0), 5: (6350, 0.8, 1.0), 6: (4150, 0.9, 1.0),
-    7: (6500, 0.6, 1.2), 8: (5000, 0.6, 1.2), 9: (4150, 0.7, 1.1),
-    10: (5000, 1.4, 0.7), 11: (4000, 1.5, 0.6), 12: (3000, 1.6, 0.5),
-}
-ILLUM_F = {i: _fluorescent(*p) for i, p in _F_PARAMS.items()}
-
-
 # ---------------------------------------------------------------------------
-# Optical glass: Sellmeier dispersion (Schott catalog coefficients)
+# Optical glass: measured Schott tables (+ exact Sellmeier dispersion oracle)
 # ---------------------------------------------------------------------------
 
 _SELLMEIER = {
-    # name: (B1, B2, B3, C1, C2, C3) with C in um^2
+    # name: (B1, B2, B3, C1, C2, C3) with C in um^2 (Schott catalog)
     "glass-BK7": (1.03961212, 0.231792344, 1.01046945,
                   0.00600069867, 0.0200179144, 103.560653),
     "glass-BAF10": (1.5851495, 0.143559385, 1.08521269,
@@ -200,80 +204,33 @@ def sellmeier_ior(lam_nm, coeffs):
     return np.sqrt(n2)
 
 
-GLASS_IOR = {name: sellmeier_ior(DENSE_LAMBDA, c).astype(np.float32)
-             for name, c in _SELLMEIER.items()}
+GLASS_IOR = {f"glass-{g}": _T[f"glass-{g}-eta"]
+             for g in ("BK7", "BAF10", "FK51A", "LASF9", "SF5", "SF10", "SF11")}
 
 
 # ---------------------------------------------------------------------------
-# Metal complex IoR (eta, k): coarse published support points, interpolated
+# Metal complex IoR (eta, k): measured tables (Palik / Johnson & Christy)
 # ---------------------------------------------------------------------------
 
-_METALS = {
-    # lam_nm: [...], eta: [...], k: [...]  (approximate Johnson&Christy/Palik)
-    "metal-Au": (
-        [400, 450, 500, 550, 600, 650, 700, 750, 800],
-        [1.66, 1.50, 0.86, 0.35, 0.22, 0.17, 0.16, 0.16, 0.17],
-        [1.96, 1.88, 1.90, 2.74, 3.07, 3.15, 3.80, 4.35, 4.86]),
-    "metal-Ag": (
-        [400, 450, 500, 550, 600, 650, 700, 750, 800],
-        [0.05, 0.04, 0.05, 0.06, 0.06, 0.07, 0.08, 0.09, 0.09],
-        [2.10, 2.66, 3.13, 3.59, 4.15, 4.52, 4.84, 5.28, 5.64]),
-    "metal-Cu": (
-        [400, 450, 500, 550, 600, 650, 700, 750, 800],
-        [1.18, 1.15, 1.12, 0.83, 0.25, 0.21, 0.21, 0.24, 0.26],
-        [2.21, 2.40, 2.60, 2.60, 3.41, 3.67, 4.10, 4.43, 4.93]),
-    "metal-Al": (
-        [400, 450, 500, 550, 600, 650, 700, 750, 800],
-        [0.49, 0.62, 0.77, 0.96, 1.20, 1.47, 1.83, 2.40, 2.80],
-        [4.86, 5.47, 6.08, 6.70, 7.26, 7.79, 8.31, 8.62, 8.45]),
-    "metal-CuZn": (  # brass, approximate
-        [400, 450, 500, 550, 600, 650, 700, 750, 800],
-        [1.40, 1.25, 0.95, 0.60, 0.45, 0.42, 0.43, 0.45, 0.47],
-        [1.80, 1.95, 2.10, 2.70, 3.20, 3.55, 3.90, 4.20, 4.50]),
-    "metal-MgO": (  # dielectric-like, k~0
-        [400, 550, 800], [1.762, 1.741, 1.728], [0.0, 0.0, 0.0]),
-    "metal-TiO2": (
-        [400, 550, 800], [3.20, 2.70, 2.55], [0.0, 0.0, 0.0]),
-}
-
-METAL_ETA = {}
-METAL_K = {}
-for _name, (_l, _e, _k) in _METALS.items():
-    METAL_ETA[_name] = _interp_dense(np.asarray(_l, np.float64), np.asarray(_e))
-    METAL_K[_name] = _interp_dense(np.asarray(_l, np.float64), np.asarray(_k))
+METAL_ETA = {f"metal-{m}": _T[f"metal-{m}-eta"]
+             for m in ("Ag", "Al", "Au", "Cu", "CuZn", "MgO", "TiO2")}
+METAL_K = {f"metal-{m}": _T[f"metal-{m}-k"]
+           for m in ("Ag", "Al", "Au", "Cu", "CuZn", "MgO", "TiO2")}
 
 
 # ---------------------------------------------------------------------------
-# Camera sensor response curves (r/g/b quantum-efficiency-like curves)
+# Camera sensor RGB spectral sensitivities — measured curves (camspec DB),
+# 17 camera models (spectrum.cpp:1470-2560).
 # ---------------------------------------------------------------------------
 
-def _sensor_curves(r_mu, g_mu, b_mu, r_s, g_s, b_s, r_a=1.0, g_a=1.0, b_a=1.0):
-    r = r_a * np.exp(-0.5 * ((DENSE_LAMBDA - r_mu) / r_s) ** 2)
-    g = g_a * np.exp(-0.5 * ((DENSE_LAMBDA - g_mu) / g_s) ** 2)
-    b = b_a * np.exp(-0.5 * ((DENSE_LAMBDA - b_mu) / b_s) ** 2)
-    return (r.astype(np.float32), g.astype(np.float32), b.astype(np.float32))
+_SENSOR_NAMES = sorted({k[:-2] for k in _T
+                        if k.endswith(("_r", "_g", "_b"))})
+SENSOR_CURVES = {name: (_T[f"{name}_r"], _T[f"{name}_g"], _T[f"{name}_b"])
+                 for name in _SENSOR_NAMES}
 
-
-# Generative stand-ins for the ~25 measured camera response curves the
-# reference ships (spectrum.cpp:1470-2560): single-lobe Gaussian RGB filters
-# whose peaks/widths vary per vendor. Same registry API, same pipeline role
-# (PixelSensor least-squares calibration runs on whatever curves are here).
-SENSOR_CURVES = {
-    "canon_eos_100d": _sensor_curves(600, 540, 460, 38, 38, 32),
-    "canon_eos_5d": _sensor_curves(605, 535, 455, 40, 40, 33),
-    "canon_eos_5d_mkii": _sensor_curves(602, 538, 458, 39, 39, 33),
-    "canon_eos_5d_mkiii": _sensor_curves(603, 537, 457, 39, 38, 32),
-    "canon_eos_5d_mkiv": _sensor_curves(604, 536, 456, 38, 38, 32),
-    "canon_eos_5ds": _sensor_curves(601, 539, 459, 39, 39, 33),
-    "canon_eos_m": _sensor_curves(600, 540, 460, 38, 37, 31),
-    "hasselblad_l1d_20c": _sensor_curves(598, 542, 462, 36, 37, 31),
-    "nikon_d810": _sensor_curves(597, 543, 463, 37, 38, 32),
-    "nikon_d850": _sensor_curves(596, 544, 464, 37, 38, 32),
-    "sony_ilce_6400": _sensor_curves(599, 541, 461, 37, 37, 31),
-    "sony_ilce_7m3": _sensor_curves(598, 542, 462, 38, 38, 32),
-    "sony_ilce_7rm3": _sensor_curves(597, 541, 461, 37, 37, 31),
-    "sony_ilce_9": _sensor_curves(598, 540, 460, 37, 37, 31),
-}
+# 24 ColorChecker swatch reflectances (BabelColor measurements), dense
+# (24, 471) — the PixelSensor calibration training set (pixelsensor.cpp:244).
+MACBETH_SWATCHES = _T["macbeth-swatches"]
 
 
 # ---------------------------------------------------------------------------
@@ -295,9 +252,17 @@ for _i in range(1, 13):
     NAMED_SPECTRA[f"stdillum-F{_i}"] = ILLUM_F[_i]
 for _name, _v in GLASS_IOR.items():
     NAMED_SPECTRA[_name + "-eta"] = _v
+# The reference registers the SF glasses as glass-F5/F10/F11
+# (spectrum.cpp:2697-2700); accept both spellings.
+for _g in ("F5", "F10", "F11"):
+    NAMED_SPECTRA[f"glass-{_g}-eta"] = GLASS_IOR[f"glass-S{_g}"]
+    NAMED_SPECTRA[f"glass-{_g}"] = GLASS_IOR[f"glass-S{_g}"]
 for _name in METAL_ETA:
     NAMED_SPECTRA[_name + "-eta"] = METAL_ETA[_name]
     NAMED_SPECTRA[_name + "-k"] = METAL_K[_name]
+for _name in _SENSOR_NAMES:
+    for _ch in "rgb":
+        NAMED_SPECTRA[f"{_name}_{_ch}"] = _T[f"{_name}_{_ch}"]
 
 
 def get_named_spectrum(name: str) -> np.ndarray:

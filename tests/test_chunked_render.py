@@ -13,7 +13,7 @@ def _simple_scene():
     return Scene.build(
         materials=[{"kind": "diffuse", "albedo_rgb": (0.6, 0.4, 0.3)}],
         lights=[{"kind": "point", "position": (2.0, 3.0, -2.0),
-                 "rgb": (1.0, 1.0, 1.0), "scale": 0.3}],
+                 "rgb": (1.0, 1.0, 1.0), "scale": 30.0}],
         spheres=[{"radius": 1.0, "transform": shp.make_transform((0, 0, 0)),
                   "material": 0}])
 

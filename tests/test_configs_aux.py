@@ -29,7 +29,7 @@ def test_config3_textured_mesh_octree(tmp_path):
         materials=[{"kind": "diffuse", "albedo_rgb": (1.0, 1.0, 1.0),
                     "use_texture": True}],
         lights=[{"kind": "distant", "direction": (0, -1, 1),
-                 "spd_named": "stdillum-D65", "scale": 0.01}],
+                 "spd_named": "stdillum-D65", "scale": 1.0}],
         mesh=(mesh, jnp.zeros((mesh.n_triangles,), jnp.int32)),
         use_octree=True,
         texture_rgb=tex)
@@ -124,7 +124,7 @@ def test_checkpoint_exact_resume(tmp_path):
     scene = Scene.build(
         materials=[{"kind": "diffuse", "albedo_rgb": (0.7, 0.5, 0.3)}],
         lights=[{"kind": "point", "position": (2, 3, -2),
-                 "spd_named": "stdillum-D65", "scale": 0.1}],
+                 "spd_named": "stdillum-D65", "scale": 10.0}],
         spheres=[{"radius": 1.0, "material": 0}])
     camera = cam.PerspectiveCamera.create((0, 0, -4), (8, 8), fov_y=40.0,
                                           look_at=(0, 0, 0))
@@ -162,7 +162,7 @@ def test_scene_config_file(tmp_path):
                    "look_at": [0, 0, 0], "fov_y": 45.0},
         "materials": [{"kind": "diffuse", "albedo_rgb": [0.6, 0.6, 0.2]}],
         "lights": [{"kind": "point", "position": [1, 2, -3],
-                    "spd_named": "stdillum-D65", "scale": 0.1}],
+                    "spd_named": "stdillum-D65", "scale": 10.0}],
         "shapes": [{"kind": "sphere", "radius": 1.0, "material": 0},
                    {"kind": "disk", "radius": 2.0, "material": 0,
                     "transform": {"translate": [0, -1, 0],

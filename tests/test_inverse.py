@@ -19,7 +19,7 @@ def small_scene(albedo=(0.6, 0.4, 0.3)):
     return Scene.build(
         materials=[{"kind": "diffuse", "albedo_rgb": albedo}],
         lights=[{"kind": "point", "position": (2.0, 3.0, -2.0),
-                 "spd_named": "stdillum-D65", "scale": 0.2}],
+                 "spd_named": "stdillum-D65", "scale": 20.0}],
         spheres=[{"radius": 1.0, "material": 0}],
     )
 

@@ -18,7 +18,7 @@ def sphere_scene(albedo=(0.8, 0.3, 0.3)):
     return Scene.build(
         materials=[{"kind": "diffuse", "albedo_rgb": albedo}],
         lights=[{"kind": "point", "position": (2.0, 3.0, -2.0),
-                 "spd_named": "stdillum-D65", "scale": 0.15}],
+                 "spd_named": "stdillum-D65", "scale": 15.0}],
         spheres=[{"radius": 1.0, "material": 0}],
     )
 
@@ -28,7 +28,7 @@ def sphere_camera(res=32):
                                         look_at=(0, 0, 0))
 
 
-def cornell_scene(light_scale=0.05):
+def cornell_scene(light_scale=5.0):
     pos, idx, uv, mats, (lc, le1, le2) = mesh_gen.cornell_box(2.0)
     mesh = trimod.MeshData.build(pos, idx, uvs=uv)
     return Scene.build(
@@ -90,7 +90,7 @@ def test_shadowing():
     scene = Scene.build(
         materials=[{"kind": "diffuse", "albedo_rgb": (0.8, 0.8, 0.8)}],
         lights=[{"kind": "point", "position": (0.0, 5.0, 0.0),
-                 "spd_named": "stdillum-E", "scale": 0.25}],
+                 "spd_named": "stdillum-E", "scale": 25.0}],
         spheres=[{"radius": 0.5,
                   "transform": shp.make_transform((0.0, 1.5, 0.0)),
                   "material": 0}],
@@ -154,7 +154,7 @@ def test_furnace_energy_conservation():
     scene = Scene.build(
         materials=[{"kind": "diffuse", "albedo_rgb": (1.0, 1.0, 1.0)}],
         lights=[{"kind": "ambient", "spd_named": "stdillum-E",
-                 "scale": 0.005}],
+                 "scale": 0.5}],
         spheres=[{"radius": 1.0, "material": 0}],
     )
     camera = sphere_camera(16)
@@ -170,7 +170,7 @@ def test_furnace_energy_conservation():
     # the resolve of a constant-100 spectrum. Compare against that.
     from computational_ray_tracer_tpu.ops import spectrum as spec
     wl = spec.sample_visible_wavelengths(jnp.linspace(0.001, 0.999, 256))
-    L = jnp.full_like(wl.lam, 0.5)  # = 100 (E) * 0.005 scale
+    L = jnp.full_like(wl.lam, 0.5)  # = 1.0 (luminance-1 E) * 0.5 scale
     rgb = jnp.mean(sensor.to_sensor_rgb(L, wl), axis=0)
     xyz = sensor.sensor_rgb_to_xyz(rgb)
     from computational_ray_tracer_tpu.ops import color as c
@@ -189,12 +189,12 @@ def test_specular_mirror_reflects_scene():
             {"kind": "diffuse", "albedo_rgb": (0.65, 0.05, 0.05)},
             {"kind": "diffuse", "albedo_rgb": (0.12, 0.45, 0.15)},
             {"kind": "diffuse", "albedo_rgb": (0, 0, 0),
-             "emission_rgb": (1.0, 0.9, 0.7), "emission_scale": 0.06},
+             "emission_rgb": (1.0, 0.9, 0.7), "emission_scale": 6.0},
             {"kind": "conductor", "albedo_rgb": (1.0, 1.0, 1.0),
              "metal": "metal-Ag"},
         ],
         lights=[{"kind": "quad", "corner": tuple(lc), "edge1": tuple(le1),
-                 "edge2": tuple(le2), "rgb": (1.0, 0.9, 0.7), "scale": 0.06}],
+                 "edge2": tuple(le2), "rgb": (1.0, 0.9, 0.7), "scale": 6.0}],
         spheres=[{"radius": 0.45,
                   "transform": shp.make_transform((0.0, -0.55, 0.2)),
                   "material": 4}],

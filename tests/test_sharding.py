@@ -19,7 +19,7 @@ def scene_and_camera(res=16):
     scene = Scene.build(
         materials=[{"kind": "diffuse", "albedo_rgb": (0.7, 0.4, 0.3)}],
         lights=[{"kind": "point", "position": (2, 3, -2),
-                 "spd_named": "stdillum-D65", "scale": 0.15}],
+                 "spd_named": "stdillum-D65", "scale": 15.0}],
         spheres=[{"radius": 1.0, "material": 0}])
     camera = cam.PerspectiveCamera.create((0, 0, -4), (res, res), fov_y=40.0,
                                           look_at=(0, 0, 0))
