@@ -13,12 +13,52 @@ from __future__ import annotations
 import numpy as np
 
 
-def load_obj(path):
+def load_obj(path, native=None):
     """Parse an OBJ file into (positions, indices, normals, uvs) arrays.
 
     Faces are triangulated (fan) like Assimp's aiProcess_Triangulate.
     Per-corner normal/uv indices are resolved by splitting vertices on
-    unique (v, vt, vn) triples."""
+    unique (v, vt, vn) triples.
+
+    native: True forces the C++ loader (native/mesh_loader.cpp), False the
+    Python parser; None (default) prefers native with Python fallback. Both
+    produce identical arrays (asserted in tests/test_native_mesh.py)."""
+    if native is not False:
+        out = _load_obj_native(path)
+        if out is not None:
+            return out
+        if native is True:
+            raise RuntimeError("native mesh loader unavailable")
+    return _load_obj_python(path)
+
+
+def _load_obj_native(path):
+    import ctypes
+    from computational_ray_tracer_tpu import native as nat
+    lib = nat.load()
+    if lib is None:
+        return None
+    m = nat.CrtMesh()
+    rc = lib.crt_load_obj(str(path).encode(), ctypes.byref(m))
+    if rc != 0:
+        raise FileNotFoundError(f"crt_load_obj({path}) failed rc={rc}")
+    try:
+        nv, nt = m.n_verts, m.n_tris
+        positions = np.ctypeslib.as_array(m.positions,
+                                          (nv, 3)).copy() if nv else np.zeros((0, 3), np.float32)
+        indices = np.ctypeslib.as_array(m.indices,
+                                        (nt, 3)).copy() if nt else np.zeros((0, 3), np.int32)
+        uvs = np.ctypeslib.as_array(m.uvs, (nv, 2)).copy() if nv else np.zeros((0, 2), np.float32)
+        normals = (np.ctypeslib.as_array(m.normals, (nv, 3)).copy()
+                   if (m.has_normals and nv) else None)
+    finally:
+        lib.crt_free_mesh(ctypes.byref(m))
+    return positions, indices, normals, uvs
+
+
+def _load_obj_python(path):
+    """NumPy oracle for the native loader (reference semantics: fan
+    triangulation + unique-corner vertex splitting, AssetManager.cpp:104-191)."""
     vs, vts, vns = [], [], []
     corners = []  # list of (vi, vti, vni) per face corner, triangulated
     with open(path) as f:
