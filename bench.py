@@ -35,12 +35,15 @@ def main():
 
     # Chunked: CHUNK spp per device launch (lax.scan inside jit) so host
     # dispatch overhead is amortized — one launch per chunk, not per spp.
+    # SPP_BLOCK samples ride one wavefront (block*W*H rays in flight),
+    # amortizing per-op overhead inside the launch.
     chunk = int(os.environ.get("BENCH_CHUNK", "8"))
+    spp_block = int(os.environ.get("BENCH_SPP_BLOCK", "1"))
 
     @jax.jit
     def chunk_pass(scene, sample_idx):
         return integ.render_passes(scene, camera, cfg, filter_obj, sensor,
-                                   sample_idx, chunk)
+                                   sample_idx, chunk, spp_block)
 
     # warmup/compile
     rgb, wt = chunk_pass(scene, jnp.uint32(0))
