@@ -163,7 +163,9 @@ def _path_scan(scene, o, d, wl, pixel, sample_idx, cfg, use_nee):
 
         # Emitted radiance: counted on camera/specular prefixes always;
         # after a diffuse bounce only when NEE is off (avoids double count).
-        emit = mat.material_emission(mrow, wl_cur.lam)
+        # One fused dense-table evaluation serves emission AND the eta/k the
+        # BSDF sample needs below (shared interpolation weights).
+        emit, eta_s, k_s = mat.material_spectra(mrow, wl_cur.lam)
         count_emit = hit & (state["specular"] | (not use_nee))
         L = L + jnp.where(count_emit[..., None], beta * emit, 0.0)
 
@@ -187,7 +189,8 @@ def _path_scan(scene, o, d, wl, pixel, sample_idx, cfg, use_nee):
         u1 = s.get_1d(pixel, sample_idx, dim0 + 2)
         wi, w_bsdf, _, is_spec, term_2nd = mat.bsdf_sample(
             mrow, si.n, si.wo, jax.lax.stop_gradient(u2),
-            jax.lax.stop_gradient(u1), wl_cur.lam, tex_rgb_coeffs=tex)
+            jax.lax.stop_gradient(u1), wl_cur.lam, tex_rgb_coeffs=tex,
+            eta_k=(eta_s, k_s))
         beta_new = beta * w_bsdf
         # Dispersion: collapse secondary wavelengths at dielectric bounces
         lam_pdf = state["lam_pdf"]

@@ -233,6 +233,19 @@ def _k_at(mat_row, lam):
     return spec.sample_dense(mat_row.k, lam)
 
 
+def material_spectra(mat_row, lam):
+    """(emission, eta, k) at the hero wavelengths in ONE fused dense-table
+    evaluation (the per-bounce bundle — builds the interpolation weights
+    once for all three tables instead of three serialized gathers)."""
+    if isinstance(mat_row, MaterialView):
+        return spec.sample_dense_rows_multi(
+            (mat_row.emission_table, mat_row.eta_table, mat_row.k_table),
+            mat_row.mid, lam)
+    return (spec.sample_dense(mat_row.emission, lam),
+            spec.sample_dense(mat_row.eta, lam),
+            spec.sample_dense(mat_row.k, lam))
+
+
 def material_albedo(mat_row, lam, tex_rgb_coeffs=None):
     """Spectral reflectance at the hero wavelengths; optionally modulated by
     a texture's own sigmoid coefficients (the uvmap fetch of
@@ -266,13 +279,17 @@ def bsdf_eval(mat_row, n, wo, wi, lam, tex_rgb_coeffs=None):
 
 
 def bsdf_sample(mat_row, n, wo, u2, u1, lam, wl_pdf=None,
-                tex_rgb_coeffs=None):
+                tex_rgb_coeffs=None, eta_k=None):
     """Sample an outgoing direction for every hit in the batch.
 
     Returns (wi, weight (..., S), pdf, is_specular, terminate_secondary):
     ``weight`` is f·|cos|/pdf (throughput multiplier). Sampling decisions use
     detached values; the returned weight stays differentiable w.r.t. material
     parameters (detached-sampling reparameterization, SURVEY §7 #5).
+
+    ``eta_k``: optional precomputed (eta, k) spectra (from
+    :func:`material_spectra`) so the per-bounce dense-table evaluation is
+    shared with the emission fetch.
     """
     t, b = build_frame(n)
     wo_l = to_local(t, b, n, wo)
@@ -288,8 +305,11 @@ def bsdf_sample(mat_row, n, wo, u2, u1, lam, wl_pdf=None,
     # --- Conductor: mirror reflection with spectral Fresnel
     wi_spec = reflect(wo, n)
     cos_i = jnp.abs(jnp.sum(n * wo, axis=-1))
-    eta_s = _eta_at(mat_row, lam)                     # (..., S)
-    k_s = _k_at(mat_row, lam)
+    if eta_k is not None:
+        eta_s, k_s = eta_k                            # (..., S) each
+    else:
+        eta_s = _eta_at(mat_row, lam)
+        k_s = _k_at(mat_row, lam)
     fr_cond = fresnel_conductor(cos_i[..., None], eta_s, k_s)
     w_cond = fr_cond * colorlib.sigmoid_polynomial(mat_row.albedo_coeffs, lam)
 

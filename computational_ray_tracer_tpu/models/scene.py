@@ -144,8 +144,9 @@ def scene_intersect(scene: Scene, o, d, t_max):
     b2 = jnp.zeros(o.shape[:-1])
 
     def fold(t_all, type_tag, t_best, type_best, idx_best):
+        # min + argmin (vectorized reduces) — no take_along_axis gather.
         j = jnp.argmin(t_all, axis=-1)
-        tb = jnp.take_along_axis(t_all, j[..., None], axis=-1)[..., 0]
+        tb = jnp.min(t_all, axis=-1)
         better = tb < t_best
         return (jnp.where(better, tb, t_best),
                 jnp.where(better, type_tag, type_best),
@@ -268,9 +269,8 @@ def scene_anyhit(scene: Scene, o, d, t_max):
                 o, d, t_m, scene.mesh, scene.tri_mask)
             hit = hit | (ti >= 0)
         else:
-            tm, ti, *_ = trimod.mesh_intersect_brute(
-                o, d, t_m, scene.mesh, scene.tri_mask)
-            hit = hit | jnp.isfinite(tm)
+            hit = hit | trimod.mesh_anyhit_brute(o, d, t_m, scene.mesh,
+                                                 scene.tri_mask)
     return hit
 
 

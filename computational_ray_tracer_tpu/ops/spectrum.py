@@ -154,15 +154,70 @@ def sample_dense(table, lam):
     return jnp.where(inside, v, 0.0)
 
 
+def _dense_idx_frac(lam):
+    x = lam - LAMBDA_MIN
+    i0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, data.N_DENSE - 2)
+    w = jnp.clip(x - i0.astype(lam.dtype), 0.0, 1.0)
+    inside = (lam >= LAMBDA_MIN) & (lam <= LAMBDA_MAX)
+    return i0, w, inside
+
+
+def _use_mxu_interp():
+    # TPU gathers serialize on the VPU (~10 ms for a (65k, 8) gather from a
+    # 471-entry table); a one-hot matmul with the generator fused into the
+    # MXU dot is 4-11x faster at f32 accuracy. On CPU the plain gather wins.
+    return jax.default_backend() == "tpu"
+
+
+def sample_dense_multi(tables, lam):
+    """Interpolate C dense 1nm SPDs at once: tables (471, C), lam (..., S)
+    -> (..., S, C). Out-of-range wavelengths return 0.
+
+    TPU path: the interpolation weights form a 2-nonzero-per-row matrix
+    W (n, 471); `W @ tables` evaluates ALL C curves in one MXU dot whose
+    one-hot generator XLA fuses into the operand load (nothing (n, 471) is
+    ever materialized). The W generation cost is shared across all C
+    columns — batch every curve needed at the same wavelengths into one
+    call. precision='highest' keeps f32-exact results (~3e-7 vs the
+    gather path)."""
+    tables = jnp.asarray(tables)
+    i0, w, inside = _dense_idx_frac(lam)
+    if not _use_mxu_interp():
+        v0 = tables[i0]                     # (..., S, C) contiguous rows
+        v1 = tables[i0 + 1]
+        v = v0 * (1.0 - w[..., None]) + v1 * w[..., None]
+        return jnp.where(inside[..., None], v, 0.0)
+    n = int(np.prod(lam.shape)) if lam.shape else 1
+    fi = i0.reshape(n, 1)
+    fw = w.reshape(n, 1)
+    j = jnp.arange(tables.shape[0], dtype=jnp.int32)
+    W = (jnp.where(j == fi, 1.0 - fw, 0.0)
+         + jnp.where(j == fi + 1, fw, 0.0))
+    v = jnp.dot(W, tables, precision="highest")
+    v = v.reshape(lam.shape + (tables.shape[1],))
+    return jnp.where(inside[..., None], v, 0.0)
+
+
+# Row counts above this keep the flat-gather path (the one-hot row-select
+# materializes (..., S, M) intermediates).
+_MXU_ROWS_MAX = 32
+
+
 def sample_dense_rows(table, rows, lam):
     """Interpolate per-ray rows of a dense SPD table at the hero
-    wavelengths in ONE fused gather: table (M, 471), rows (...,) int32,
-    lam (..., S) -> (..., S).
+    wavelengths: table (M, 471), rows (...,) int32, lam (..., S) -> (..., S).
 
     Equivalent to ``sample_dense(table[rows], lam)`` but never materializes
-    the (..., 471) gathered rows — (S/471)x less gather traffic on the hot
-    path (materials/lights evaluate 3-4 dense tables per bounce)."""
+    the (..., 471) gathered rows. On TPU with small M this evaluates ALL M
+    rows via :func:`sample_dense_multi` (one MXU dot) and selects the row
+    with a one-hot reduction — 4x faster than the serialized gather."""
     table = jnp.asarray(table)
+    m = table.shape[0]
+    if _use_mxu_interp() and m <= _MXU_ROWS_MAX:
+        vals = sample_dense_multi(table.T, lam)          # (..., S, M)
+        sel = (rows[..., None, None] ==
+               jnp.arange(m, dtype=jnp.int32)).astype(vals.dtype)
+        return jnp.sum(vals * sel, axis=-1)
     x = lam - LAMBDA_MIN
     i0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, data.N_DENSE - 2)
     w = jnp.clip(x - i0.astype(lam.dtype), 0.0, 1.0)
@@ -173,6 +228,25 @@ def sample_dense_rows(table, rows, lam):
     v = v0 * (1.0 - w) + v1 * w
     inside = (lam >= LAMBDA_MIN) & (lam <= LAMBDA_MAX)
     return jnp.where(inside, v, 0.0)
+
+
+def sample_dense_rows_multi(tables, rows, lam):
+    """Per-ray rows of SEVERAL (M, 471) tables at the same wavelengths in
+    one fused evaluation: tables a sequence of G arrays each (M, 471) ->
+    tuple of G arrays (..., S). The one-hot weight matrix is built once for
+    all G*M curves (the per-bounce pattern: emission + eta + k)."""
+    tabs = [jnp.asarray(t) for t in tables]
+    m = tabs[0].shape[0]
+    g = len(tabs)
+    if _use_mxu_interp() and m <= _MXU_ROWS_MAX:
+        stack = jnp.concatenate([t.T for t in tabs], axis=1)  # (471, G*M)
+        vals = sample_dense_multi(stack, lam)                 # (..., S, G*M)
+        vals = vals.reshape(lam.shape + (g, m))
+        sel = (rows[..., None, None, None] ==
+               jnp.arange(m, dtype=jnp.int32)).astype(vals.dtype)
+        out = jnp.sum(vals * sel, axis=-1)                    # (..., S, G)
+        return tuple(out[..., i] for i in range(g))
+    return tuple(sample_dense_rows(t, rows, lam) for t in tabs)
 
 
 # ---------------------------------------------------------------------------

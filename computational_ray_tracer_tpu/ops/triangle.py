@@ -263,10 +263,14 @@ def mesh_intersect_brute(o, d, t_max, mesh: MeshData, tri_mask=None,
             p0b, p1b, p2b)
         if maskb is not None:
             t = jnp.where(maskb, t, jnp.inf)
+        # Winner extraction by mask-reduce, not take_along_axis: gathers
+        # serialize on the TPU VPU, a (lane == argmin) mask-sum vectorizes.
         j = jnp.argmin(t, axis=-1)
-        tbest = jnp.take_along_axis(t, j[..., None], axis=-1)[..., 0]
-        b1best = jnp.take_along_axis(b1, j[..., None], axis=-1)[..., 0]
-        b2best = jnp.take_along_axis(b2, j[..., None], axis=-1)[..., 0]
+        at_min = (jax.lax.broadcasted_iota(jnp.int32, t.shape, t.ndim - 1)
+                  == j[..., None])
+        tbest = jnp.min(t, axis=-1)
+        b1best = jnp.sum(jnp.where(at_min, b1, 0.0), axis=-1)
+        b2best = jnp.sum(jnp.where(at_min, b2, 0.0), axis=-1)
         return tbest, j, b1best, b2best
 
     if chunk is None or chunk >= f:
@@ -308,6 +312,20 @@ def mesh_intersect_brute(o, d, t_max, mesh: MeshData, tri_mask=None,
     return jnp.where(jnp.isfinite(tb), tb, jnp.inf), jb, b1b, b2b, count
 
 
+def mesh_anyhit_brute(o, d, t_max, mesh: MeshData, tri_mask=None):
+    """Boolean any-hit against all triangles (IntersectP capability): skips
+    the argmin/winner extraction the shadow ray doesn't need."""
+    i = mesh.indices
+    p0 = mesh.positions[i[:, 0]]
+    p1 = mesh.positions[i[:, 1]]
+    p2 = mesh.positions[i[:, 2]]
+    t, _, _, _, hit = triangle_intersect(
+        o[..., None, :], d[..., None, :], t_max[..., None], p0, p1, p2)
+    if tri_mask is not None:
+        hit = hit & tri_mask
+    return jnp.any(hit & jnp.isfinite(t), axis=-1)
+
+
 def compute_backface_mask(mesh: MeshData, look_dir):
     """Per-face visibility vs a look direction (ComputeBackFace,
     Shapes.h:1339-1380): True = keep (front-facing)."""
@@ -323,27 +341,70 @@ def compute_backface_mask(mesh: MeshData, look_dir):
 # Surface interpolation (Triangle::CalculateLocalSurface, Shapes.h:982-1083)
 # ---------------------------------------------------------------------------
 
+# Meshes up to this many faces use the one-hot MXU attribute fetch on TPU
+# (per-ray gathers serialize on the VPU; a (rays, F) one-hot dot does not).
+_ONEHOT_FACES_MAX = 2048
+
+
+def _attrs_by_onehot(mesh, tri_idx, b0, b1, b2):
+    """Interpolated (p, n, uv, dpdu, dpdv) via three (rays, F) @ (F, 14)
+    dots — replaces ~18 serialized per-ray attribute gathers for small
+    meshes."""
+    f = mesh.n_triangles
+    cat = jnp.concatenate([mesh.positions, mesh.normals, mesh.uvs,
+                           mesh.tangents, mesh.bitangents], axis=1)  # (V,14)
+    sel = (tri_idx[..., None] ==
+           jnp.arange(f, dtype=jnp.int32)).astype(jnp.float32)  # (..., F)
+    flat_sel = sel.reshape(-1, f)
+
+    def slot(k):
+        a = cat[mesh.indices[:, k]]                     # (F, 14) tiny gather
+        return jnp.dot(flat_sel, a, precision="highest").reshape(
+            tri_idx.shape + (14,))
+
+    out = (b0[..., None] * slot(0) + b1[..., None] * slot(1)
+           + b2[..., None] * slot(2))
+    p, n, uv = out[..., 0:3], out[..., 3:6], out[..., 6:8]
+    dpdu, dpdv = out[..., 8:11], out[..., 11:14]
+    # Geometric normal for the degenerate-shading-normal fallback
+    p0 = jnp.dot(flat_sel, cat[mesh.indices[:, 0]][:, 0:3],
+                 precision="highest").reshape(tri_idx.shape + (3,))
+    p1 = jnp.dot(flat_sel, cat[mesh.indices[:, 1]][:, 0:3],
+                 precision="highest").reshape(tri_idx.shape + (3,))
+    p2 = jnp.dot(flat_sel, cat[mesh.indices[:, 2]][:, 0:3],
+                 precision="highest").reshape(tri_idx.shape + (3,))
+    return p, n, uv, dpdu, dpdv, p0, p1, p2
+
+
 def mesh_surface(o, d, t, tri_idx, b1, b2, mesh: MeshData):
-    """Barycentric surface info at mesh hits (vectorized gather + lerp)."""
-    i = mesh.indices[jnp.maximum(tri_idx, 0)]
+    """Barycentric surface info at mesh hits (vectorized gather + lerp;
+    one-hot MXU dots for small meshes on TPU)."""
     b0 = 1.0 - b1 - b2
+    safe_idx = jnp.maximum(tri_idx, 0)
+    use_onehot = (jax.default_backend() == "tpu"
+                  and mesh.n_triangles <= _ONEHOT_FACES_MAX)
+    if use_onehot:
+        p, n, uv, dpdu, dpdv, p0, p1, p2 = _attrs_by_onehot(
+            mesh, safe_idx, b0, b1, b2)
+    else:
+        i = mesh.indices[safe_idx]
 
-    def lerp3(attr):
-        return (b0[..., None] * attr[i[..., 0]]
-                + b1[..., None] * attr[i[..., 1]]
-                + b2[..., None] * attr[i[..., 2]])
+        def lerp3(attr):
+            return (b0[..., None] * attr[i[..., 0]]
+                    + b1[..., None] * attr[i[..., 1]]
+                    + b2[..., None] * attr[i[..., 2]])
 
-    p = lerp3(mesh.positions)
-    n = lerp3(mesh.normals)
-    uv = (b0[..., None] * mesh.uvs[i[..., 0]]
-          + b1[..., None] * mesh.uvs[i[..., 1]]
-          + b2[..., None] * mesh.uvs[i[..., 2]])
-    dpdu = lerp3(mesh.tangents)
-    dpdv = lerp3(mesh.bitangents)
+        p = lerp3(mesh.positions)
+        n = lerp3(mesh.normals)
+        uv = (b0[..., None] * mesh.uvs[i[..., 0]]
+              + b1[..., None] * mesh.uvs[i[..., 1]]
+              + b2[..., None] * mesh.uvs[i[..., 2]])
+        dpdu = lerp3(mesh.tangents)
+        dpdv = lerp3(mesh.bitangents)
+        p0, p1, p2 = mesh.triangle_vertices(safe_idx)
 
     nl = jnp.linalg.norm(n, axis=-1, keepdims=True)
     # Degenerate shading normal -> geometric normal fallback
-    p0, p1, p2 = mesh.triangle_vertices(jnp.maximum(tri_idx, 0))
     ng = jnp.cross(p1 - p0, p2 - p0)
     ng = ng / jnp.maximum(jnp.linalg.norm(ng, axis=-1, keepdims=True), 1e-20)
     n = jnp.where(nl > 1e-8, n / jnp.maximum(nl, 1e-20), ng)
