@@ -81,7 +81,7 @@ class SamplerConfig:
 class RenderConfig:
     resolution: tuple = (256, 256)          # (W, H)
     sampler: SamplerConfig = SamplerConfig()
-    integrator: str = "path"                # path | simple | direct | walk
+    integrator: str = "path"                # path(MIS) | simple | direct | walk
     max_depth: int = 5
     rr_start: int = 3                       # Russian roulette from this depth
     lambda_mode: str = "visible"            # visible | uniform
@@ -89,7 +89,21 @@ class RenderConfig:
     filter_radius: tuple = (0.5, 0.5)
     sensor_name: Any = None                 # None = XYZ sensor
     clamp: float = 0.0                      # 0 = no firefly clamp
-    ray_eps: float = 1e-3
+    ray_eps: float = 1e-3                   # legacy absolute offset floor
+    # Scale-relative spawn offset: eps = ray_eps_scale * (|p| + t). Replaces
+    # the reference's per-hit conservative FP error bounds
+    # (Shapes.h:1226-1256) with a conservative relative bound that renders
+    # unit-scale and 1000x-scale scenes identically.
+    ray_eps_scale: float = 3e-5
+
+
+def spawn_eps(si, cfg: RenderConfig):
+    """Per-hit self-intersection offset: relative to the magnitudes that
+    entered the hit-point computation (|p| and the ray parameter t), so it
+    tracks the actual f32 rounding error at any scene scale."""
+    mag = jnp.max(jnp.abs(si.p), axis=-1) + jnp.abs(
+        jnp.where(jnp.isfinite(si.t), si.t, 0.0))
+    return cfg.ray_eps_scale * jnp.maximum(mag, 1e-3)
 
 
 def _sample_wavelengths(cfg, u):
@@ -124,20 +138,33 @@ def li_direct(scene, o, d, wl, pixel, sample_idx, cfg):
     wr = scene.world_radius()
     wi, dist, li_val, pdf, _ = lgt.sample_light(scene.lights, si.p, si.n,
                                                 wl.lam, u_sel, u_pos, wr)
-    f, _ = mat.bsdf_eval(mrow, si.n, si.wo, wi, wl.lam, _tex_coeffs(scene, si))
+    f, _ = mat.bsdf_eval(mrow, si.n, si.wo, wi, wl.lam, _tex_coeffs(scene, si),
+                         enable_rough=scene.has_rough)
     cos_i = jnp.maximum(jnp.sum(wi * si.n, axis=-1), 0.0)
-    occluded = scene_occluded(scene, si.p, wi, dist, cfg.ray_eps)
+    occluded = scene_occluded(scene, si.p, wi, dist, spawn_eps(si, cfg),
+                              n=si.n)
     contrib = f * li_val * (cos_i / jnp.maximum(pdf, 1e-12))[..., None]
     contrib = jnp.where((si.valid & ~occluded)[..., None], contrib, 0.0)
     return L + contrib
 
 
-def _path_scan(scene, o, d, wl, pixel, sample_idx, cfg, use_nee):
-    """Shared wavefront loop for random-walk (use_nee=False) and
-    NEE path tracing (use_nee=True)."""
+def _path_scan(scene, o, d, wl, pixel, sample_idx, cfg, mode):
+    """Shared wavefront loop for the three multi-bounce estimators
+    (Integrator.h:4-12 intent):
+
+    - ``walk``: RandomWalk — BSDF sampling only, lights found by hitting;
+    - ``simple``: SimplePath — NEE at every diffuse vertex, BSDF-found
+      emission counted only on camera/specular prefixes;
+    - ``mis``: Path — NEE *and* BSDF-sampled emission, both weighted by the
+      power heuristic (montecarlo.balance/power_heuristic) so glossy +
+      small-light scenes converge where either strategy alone is poor.
+    """
+    from computational_ray_tracer_tpu.ops.montecarlo import power_heuristic
     s = cfg.sampler
     n_shape = o.shape[:-1]
     S = wl.lam.shape[-1]
+    use_nee = mode in ("simple", "mis")
+    use_mis = mode == "mis"
 
     init = dict(
         o=o, d=d,
@@ -145,6 +172,8 @@ def _path_scan(scene, o, d, wl, pixel, sample_idx, cfg, use_nee):
         L=jnp.zeros(n_shape + (S,)),
         alive=jnp.ones(n_shape, bool),
         specular=jnp.ones(n_shape, bool),   # last bounce was camera/specular
+        pdf_prev=jnp.ones(n_shape),         # solid-angle pdf of last bounce
+        n_prev=jnp.zeros(n_shape + (3,)),   # shading normal at last vertex
         lam_pdf=wl.pdf,
     )
 
@@ -161,36 +190,73 @@ def _path_scan(scene, o, d, wl, pixel, sample_idx, cfg, use_nee):
         mrow = mat.MaterialView.create(scene.materials, mid)
         tex = _tex_coeffs(scene, si)
 
-        # Emitted radiance: counted on camera/specular prefixes always;
-        # after a diffuse bounce only when NEE is off (avoids double count).
+        # Escaped rays collect the environment (ambient lights). Same
+        # single/double-count discipline as surface emission below.
+        miss = alive & ~si.valid
+        L_env, _ = lgt.env_radiance(scene.lights, wl_cur.lam)
+        if use_mis:
+            pdf_amb = lgt.pdf_ambient_direction(scene.lights,
+                                                state["n_prev"], d)
+            w_env = jnp.where(
+                state["specular"], 1.0,
+                power_heuristic(1.0, state["pdf_prev"], 1.0, pdf_amb))
+        elif mode == "walk":
+            w_env = jnp.ones(n_shape)
+        else:   # simple: NEE already sampled the ambient at the prev vertex
+            w_env = jnp.where(state["specular"], 1.0, 0.0)
+        L = L + jnp.where(miss[..., None],
+                          beta * L_env * w_env[..., None], 0.0)
+
+        # Emitted radiance. Camera/specular prefixes always count it. After
+        # a diffuse bounce: walk counts it (only estimator), simple skips it
+        # (NEE already did), mis counts it weighted against the light pdf.
         # One fused dense-table evaluation serves emission AND the eta/k the
         # BSDF sample needs below (shared interpolation weights).
         emit, eta_s, k_s = mat.material_spectra(mrow, wl_cur.lam)
-        count_emit = hit & (state["specular"] | (not use_nee))
-        L = L + jnp.where(count_emit[..., None], beta * emit, 0.0)
+        if use_mis:
+            pdf_l_hit = lgt.pdf_light_direction(scene.lights, o, d, si.t)
+            w_emit = jnp.where(
+                state["specular"], 1.0,
+                power_heuristic(1.0, state["pdf_prev"], 1.0, pdf_l_hit))
+            count_emit = hit
+        else:
+            w_emit = jnp.ones(n_shape)
+            count_emit = hit & (state["specular"] | (mode == "walk"))
+        L = L + jnp.where(count_emit[..., None],
+                          beta * emit * w_emit[..., None], 0.0)
 
         dim0 = DIM_BOUNCE0 + depth * DIMS_PER_BOUNCE
+        eps_h = spawn_eps(si, cfg)
 
         # --- next-event estimation
         if use_nee:
             u_sel = s.get_1d(pixel, sample_idx, dim0 + 3)
             u_pos = s.get_2d(pixel, sample_idx, dim0 + 4)
             wr = scene.world_radius()
-            wi_l, dist, li_val, pdf_l, _ = lgt.sample_light(
+            wi_l, dist, li_val, pdf_l, lkind = lgt.sample_light(
                 scene.lights, si.p, si.n, wl_cur.lam, u_sel, u_pos, wr)
-            f, _ = mat.bsdf_eval(mrow, si.n, si.wo, wi_l, wl_cur.lam, tex)
+            f, pdf_b = mat.bsdf_eval(mrow, si.n, si.wo, wi_l, wl_cur.lam, tex,
+                                     eta_k=(eta_s, k_s),
+                                     enable_rough=scene.has_rough)
             cos_l = jnp.maximum(jnp.sum(wi_l * si.n, axis=-1), 0.0)
-            occ = scene_occluded(scene, si.p, wi_l, dist, cfg.ray_eps)
+            occ = scene_occluded(scene, si.p, wi_l, dist, eps_h, n=si.n)
             nee = beta * f * li_val * (cos_l / jnp.maximum(pdf_l, 1e-12))[..., None]
+            if use_mis:
+                # Delta lights (point/distant) can't be BSDF-sampled: w=1.
+                hittable = (lkind == lgt.AREA_QUAD) | (lkind == lgt.AMBIENT)
+                w_l = jnp.where(hittable,
+                                power_heuristic(1.0, pdf_l, 1.0, pdf_b), 1.0)
+                nee = nee * w_l[..., None]
             L = L + jnp.where((hit & ~occ)[..., None], nee, 0.0)
 
         # --- BSDF sampling, continuation
         u2 = s.get_2d(pixel, sample_idx, dim0)
         u1 = s.get_1d(pixel, sample_idx, dim0 + 2)
-        wi, w_bsdf, _, is_spec, term_2nd = mat.bsdf_sample(
+        wi, w_bsdf, pdf_bsdf, is_spec, term_2nd = mat.bsdf_sample(
             mrow, si.n, si.wo, jax.lax.stop_gradient(u2),
             jax.lax.stop_gradient(u1), wl_cur.lam, tex_rgb_coeffs=tex,
-            eta_k=(eta_s, k_s))
+            eta_k=(eta_s, k_s), backface=si.backface,
+            enable_rough=scene.has_rough)
         beta_new = beta * w_bsdf
         # Dispersion: collapse secondary wavelengths at dielectric bounces
         lam_pdf = state["lam_pdf"]
@@ -213,7 +279,10 @@ def _path_scan(scene, o, d, wl, pixel, sample_idx, cfg, use_nee):
         beta_new = jnp.where(do_rr, beta_new / q[..., None], beta_new)
 
         alive_new = hit & survive & (max_beta > 0.0)
-        o_new = si.p + wi * cfg.ray_eps
+        # spawn along the normal, signed toward wi's hemisphere (handles
+        # transmission), with the scale-relative offset
+        side = jnp.sign(jnp.sum(wi * si.n, axis=-1))
+        o_new = si.p + si.n * (side * eps_h)[..., None]
         state = dict(
             o=jnp.where(hit[..., None], o_new, o),
             d=jnp.where(hit[..., None], wi, d),
@@ -221,6 +290,8 @@ def _path_scan(scene, o, d, wl, pixel, sample_idx, cfg, use_nee):
             L=L,
             alive=alive_new,
             specular=jnp.where(hit, is_spec, state["specular"]),
+            pdf_prev=jnp.where(hit, pdf_bsdf, state["pdf_prev"]),
+            n_prev=jnp.where(hit[..., None], si.n, state["n_prev"]),
             lam_pdf=lam_pdf)
         return state, None
 
@@ -234,14 +305,20 @@ def _path_scan(scene, o, d, wl, pixel, sample_idx, cfg, use_nee):
 
 
 def li_path(scene, o, d, wl, pixel, sample_idx, cfg):
-    """SimplePath-class estimator: NEE at every diffuse vertex, emission on
-    specular/camera prefixes, RR termination (the Integrator.h intent)."""
-    return _path_scan(scene, o, d, wl, pixel, sample_idx, cfg, use_nee=True)
+    """Path: MIS combination of NEE and BSDF-sampled emission with the
+    power heuristic, RR termination (the Integrator.h "Path" intent)."""
+    return _path_scan(scene, o, d, wl, pixel, sample_idx, cfg, mode="mis")
+
+
+def li_simple_path(scene, o, d, wl, pixel, sample_idx, cfg):
+    """SimplePath: NEE at every diffuse vertex, emission counted on
+    specular/camera prefixes only."""
+    return _path_scan(scene, o, d, wl, pixel, sample_idx, cfg, mode="simple")
 
 
 def li_random_walk(scene, o, d, wl, pixel, sample_idx, cfg):
     """RandomWalk: BSDF sampling only, lights found by hitting them."""
-    return _path_scan(scene, o, d, wl, pixel, sample_idx, cfg, use_nee=False)
+    return _path_scan(scene, o, d, wl, pixel, sample_idx, cfg, mode="walk")
 
 
 # ---------------------------------------------------------------------------
@@ -281,6 +358,8 @@ def render_pass(scene, camera, cfg: RenderConfig, filter_obj, sensor,
         wl_out = wl
     elif cfg.integrator == "walk":
         L, wl_out = li_random_walk(scene, o, d, wl, pixel, sample_idx, cfg)
+    elif cfg.integrator == "simple":
+        L, wl_out = li_simple_path(scene, o, d, wl, pixel, sample_idx, cfg)
     else:
         L, wl_out = li_path(scene, o, d, wl, pixel, sample_idx, cfg)
 
@@ -326,6 +405,8 @@ def render_pass_block(scene, camera, cfg: RenderConfig, filter_obj, sensor,
         wl_out = wl
     elif cfg.integrator == "walk":
         L, wl_out = li_random_walk(scene, o, d, wl, pixel, sample_idx, cfg)
+    elif cfg.integrator == "simple":
+        L, wl_out = li_simple_path(scene, o, d, wl, pixel, sample_idx, cfg)
     else:
         L, wl_out = li_path(scene, o, d, wl, pixel, sample_idx, cfg)
 

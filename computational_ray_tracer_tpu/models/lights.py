@@ -173,3 +173,80 @@ def sample_light(table: LightTable, p, n, lam, u_light, u_pos,
                      pdf_quad, pdf_amb)
     pdf = pdf / nl  # uniform light selection
     return wi, dist, li, pdf, kind
+
+
+def env_radiance(table: LightTable, lam):
+    """Radiance an *escaped* ray collects from the ambient/environment
+    lights: Σ_ambient spd·scale at the hero wavelengths. Returns
+    (L_env (..., S), n_ambient) — n_ambient is a static-shape int array used
+    for the MIS selection factor."""
+    is_amb = table.kind == AMBIENT
+    w = jnp.where(is_amb, table.scale, 0.0)           # (L,)
+    spd = jnp.einsum("l,ls->s", w, table.spd)          # (471,)
+    L = spec.sample_dense(jnp.broadcast_to(spd, lam.shape[:-1] + (471,)), lam)
+    return L, jnp.sum(is_amb)
+
+
+def pdf_ambient_direction(table: LightTable, n_prev, d):
+    """Solid-angle pdf that :func:`sample_light` at a vertex with shading
+    normal ``n_prev`` produced the escaped direction ``d`` via an ambient
+    light (cosine-hemisphere sampling): (n_amb/n_lights)·cosθ/π."""
+    n_amb = jnp.sum(table.kind == AMBIENT).astype(jnp.float32)
+    cos = jnp.maximum(jnp.sum(n_prev * d, axis=-1), 0.0)
+    return (n_amb / table.n_lights) * cos / math.pi
+
+
+def pdf_light_direction(table: LightTable, p, d, t_hit, rel_tol=1e-2):
+    """Solid-angle pdf that :func:`sample_light` from point ``p`` would have
+    produced the (unit) direction ``d`` whose surface hit lies at ``t_hit``.
+
+    The MIS "light pdf of the BSDF sample" (the Path integrator intent,
+    Integrator.h:4-12). Only non-delta, hittable lights contribute:
+
+    - quad area lights: intersect the ray with the parallelogram; if the hit
+      parameter matches ``t_hit`` (the emissive geometry is co-located with
+      the light), pdf = t²/(A·|cosθ_l|);
+    - point/distant lights are delta distributions a BSDF sample cannot hit
+      (pdf 0); ambient applies to escaped rays only (handled by the caller).
+
+    Returns (...,) pdf including the uniform 1/n_lights selection factor,
+    summed over all matching lights.
+    """
+    nl = table.n_lights
+    pdf = jnp.zeros(t_hit.shape)
+    # Vectorize over the (small) light table: add a trailing light axis.
+    pe = p[..., None, :]                      # (..., 1, 3)
+    de = d[..., None, :]
+    corner = table.position                    # (L, 3)
+    e1 = table.edge1
+    e2 = table.edge2
+    qn = jnp.cross(e1, e2)                     # (L, 3) unnormalized
+    area = jnp.maximum(jnp.linalg.norm(qn, axis=-1), 1e-12)
+    qn_u = qn / area[..., None]
+    denom = jnp.sum(de * qn_u, axis=-1)        # (..., L)
+    safe_denom = jnp.where(jnp.abs(denom) < 1e-9, 1.0, denom)
+    t_q = jnp.sum((corner - pe) * qn_u, axis=-1) / safe_denom
+    hitp = pe + de * t_q[..., None]            # (..., L, 3)
+    rel = hitp - corner
+    # Parallelogram coordinates via the dual basis (e1, e2 need not be
+    # orthogonal): solve [e1.e1 e1.e2; e2.e1 e2.e2] [a b]' = [rel.e1 rel.e2]'
+    g11 = jnp.sum(e1 * e1, axis=-1)
+    g12 = jnp.sum(e1 * e2, axis=-1)
+    g22 = jnp.sum(e2 * e2, axis=-1)
+    det = jnp.maximum(g11 * g22 - g12 * g12, 1e-20)
+    r1 = jnp.sum(rel * e1, axis=-1)
+    r2 = jnp.sum(rel * e2, axis=-1)
+    a = (g22 * r1 - g12 * r2) / det
+    b = (g11 * r2 - g12 * r1) / det
+    cos_l = jnp.sum(-de * qn_u, axis=-1)       # one-sided (emits along +qn)
+    ok = ((table.kind == AREA_QUAD)
+          & (jnp.abs(denom) >= 1e-9)
+          & (t_q > 0.0)
+          & (a >= -1e-4) & (a <= 1.0 + 1e-4)
+          & (b >= -1e-4) & (b <= 1.0 + 1e-4)
+          & (cos_l > 1e-6)
+          & (jnp.abs(t_q - t_hit[..., None])
+             <= rel_tol * jnp.maximum(t_hit[..., None], 1e-6)))
+    pdf_quad = t_q ** 2 / jnp.maximum(area * jnp.abs(cos_l), 1e-12)
+    pdf = jnp.sum(jnp.where(ok, pdf_quad, 0.0), axis=-1)
+    return pdf / nl

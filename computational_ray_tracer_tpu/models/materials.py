@@ -15,7 +15,10 @@ module *implements* that layer TPU-first:
   emission scale, roughness) — the inverse-rendering path (BASELINE config 5).
 
 Kinds: 0 = Lambertian diffuse, 1 = smooth conductor (specular mirror with
-spectral Fresnel), 2 = smooth dielectric (specular reflect/refract).
+spectral Fresnel), 2 = smooth dielectric (specular reflect/refract),
+3 = rough conductor (GGX/Trowbridge-Reitz microfacets, Smith shadowing,
+spectral Fresnel) — the glossy lobe that makes MIS (Integrator.h "Path")
+meaningful.
 """
 
 from __future__ import annotations
@@ -36,6 +39,7 @@ from computational_ray_tracer_tpu.ops import sampling as smp
 LAMBERTIAN = 0
 CONDUCTOR = 1
 DIELECTRIC = 2
+ROUGH_CONDUCTOR = 3
 
 INV_PI = 1.0 / math.pi
 
@@ -50,10 +54,11 @@ class MaterialTable:
     eta: jnp.ndarray             # (M, 471) dense IoR (dielectric/conductor)
     k: jnp.ndarray               # (M, 471) dense extinction (conductor)
     use_texture: jnp.ndarray     # (M,) bool — modulate albedo by scene texture
+    roughness: jnp.ndarray       # (M,) GGX alpha (rough conductor)
 
     def tree_flatten(self):
         return (self.kind, self.albedo_coeffs, self.emission, self.eta,
-                self.k, self.use_texture), None
+                self.k, self.use_texture, self.roughness), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -62,12 +67,13 @@ class MaterialTable:
     @classmethod
     def build(cls, mats):
         """mats: list of dicts.
-        keys: kind ('diffuse'|'conductor'|'dielectric'), albedo_rgb,
-        emission_rgb + emission_scale (illuminant-shaped), or emission_dense,
-        metal (named, e.g. 'metal-Au'), glass (named, e.g. 'glass-BK7'),
-        eta (scalar), use_texture."""
+        keys: kind ('diffuse'|'conductor'|'dielectric'|'rough_conductor'),
+        albedo_rgb, emission_rgb + emission_scale (illuminant-shaped), or
+        emission_dense, metal (named, e.g. 'metal-Au'), glass (named, e.g.
+        'glass-BK7'), eta (scalar), roughness (GGX alpha), use_texture."""
         kind_map = {"diffuse": LAMBERTIAN, "conductor": CONDUCTOR,
-                    "dielectric": DIELECTRIC}
+                    "dielectric": DIELECTRIC,
+                    "rough_conductor": ROUGH_CONDUCTOR}
         n = len(mats)
         kind = np.zeros(n, np.int32)
         alb = np.zeros((n, 3), np.float32)
@@ -75,9 +81,11 @@ class MaterialTable:
         eta = np.full((n, 471), 1.5, np.float32)
         kk = np.zeros((n, 471), np.float32)
         tex = np.zeros(n, bool)
+        rough = np.full(n, 0.1, np.float32)
         rgbs = []
         for i, m in enumerate(mats):
             kind[i] = kind_map[m.get("kind", "diffuse")]
+            rough[i] = float(m.get("roughness", 0.1))
             rgbs.append(m.get("albedo_rgb", (0.5, 0.5, 0.5)))
             if "emission_dense" in m:
                 emission[i] = np.asarray(m["emission_dense"], np.float32)
@@ -98,7 +106,7 @@ class MaterialTable:
             jnp.asarray(np.asarray(rgbs, np.float32))))
         return cls(jnp.asarray(kind), jnp.asarray(coeffs),
                    jnp.asarray(emission), jnp.asarray(eta), jnp.asarray(kk),
-                   jnp.asarray(tex))
+                   jnp.asarray(tex), jnp.asarray(rough))
 
 
 # ---------------------------------------------------------------------------
@@ -176,6 +184,57 @@ def fresnel_conductor(cos_i, eta, k):
 
 
 # ---------------------------------------------------------------------------
+# GGX microfacets (Trowbridge-Reitz NDF, Smith masking) — the glossy lobe
+# ---------------------------------------------------------------------------
+
+def ggx_d(cos_h, alpha):
+    """Trowbridge-Reitz normal distribution D(h); cos_h = n·h in [0,1]."""
+    a2 = alpha * alpha
+    c2 = cos_h * cos_h
+    denom = c2 * (a2 - 1.0) + 1.0
+    return a2 / jnp.maximum(math.pi * denom * denom, 1e-12)
+
+
+def ggx_g1(cos_v, alpha):
+    """Smith masking for one direction (separable form)."""
+    a2 = alpha * alpha
+    c = jnp.clip(cos_v, 1e-5, 1.0)
+    return 2.0 * c / jnp.maximum(c + jnp.sqrt(a2 + (1.0 - a2) * c * c), 1e-12)
+
+
+def ggx_sample_half(u2, alpha):
+    """Sample a half-vector from the GGX NDF (local frame, +z up).
+    cosθ_h = sqrt((1-u)/(1+(α²-1)u)); pdf_h = D(h)·cosθ_h."""
+    a2 = alpha * alpha
+    cos_h = jnp.sqrt(jnp.clip((1.0 - u2[..., 0])
+                              / (1.0 + (a2 - 1.0) * u2[..., 0]), 0.0, 1.0))
+    sin_h = jnp.sqrt(jnp.maximum(1.0 - cos_h * cos_h, 0.0))
+    phi = 2.0 * math.pi * u2[..., 1]
+    return jnp.stack([sin_h * jnp.cos(phi), sin_h * jnp.sin(phi), cos_h],
+                     axis=-1)
+
+
+def _rough_conductor_fpdf(wo_l, wi_l, alpha, eta_s, k_s, spec_tint):
+    """(f (..., S), pdf (...,)) of the GGX conductor lobe in local frame."""
+    cos_o = wo_l[..., 2]
+    cos_i = wi_l[..., 2]
+    same = (cos_o > 1e-5) & (cos_i > 1e-5)
+    h = wo_l + wi_l
+    h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-12)
+    cos_h = jnp.clip(h[..., 2], 0.0, 1.0)
+    odoth = jnp.maximum(jnp.sum(wo_l * h, axis=-1), 1e-6)
+    d_val = ggx_d(cos_h, alpha)
+    g = ggx_g1(cos_o, alpha) * ggx_g1(cos_i, alpha)
+    fr = fresnel_conductor(odoth[..., None], eta_s, k_s) * spec_tint
+    denom = jnp.maximum(4.0 * cos_o * cos_i, 1e-6)
+    f = fr * (d_val * g / denom)[..., None]
+    pdf = d_val * cos_h / (4.0 * odoth)
+    f = jnp.where(same[..., None], f, 0.0)
+    pdf = jnp.where(same, pdf, 0.0)
+    return f, pdf
+
+
+# ---------------------------------------------------------------------------
 # Batched BSDF interface
 # ---------------------------------------------------------------------------
 
@@ -193,6 +252,7 @@ class MaterialView:
     kind: Any                  # (N,)  gathered
     albedo_coeffs: Any         # (N, 3) gathered
     use_texture: Any           # (N,)  gathered
+    roughness: Any             # (N,)  gathered
     emission_table: Any        # (M, 471) ungathered
     eta_table: Any             # (M, 471)
     k_table: Any               # (M, 471)
@@ -200,8 +260,8 @@ class MaterialView:
 
     def tree_flatten(self):
         return (self.kind, self.albedo_coeffs, self.use_texture,
-                self.emission_table, self.eta_table, self.k_table,
-                self.mid), None
+                self.roughness, self.emission_table, self.eta_table,
+                self.k_table, self.mid), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -210,8 +270,8 @@ class MaterialView:
     @classmethod
     def create(cls, table: MaterialTable, mid):
         return cls(table.kind[mid], table.albedo_coeffs[mid],
-                   table.use_texture[mid], table.emission, table.eta,
-                   table.k, mid)
+                   table.use_texture[mid], table.roughness[mid],
+                   table.emission, table.eta, table.k, mid)
 
 
 def _emission_at(mat_row, lam):
@@ -263,9 +323,14 @@ def material_emission(mat_row, lam):
     return _emission_at(mat_row, lam)
 
 
-def bsdf_eval(mat_row, n, wo, wi, lam, tex_rgb_coeffs=None):
-    """f(wo, wi) (..., S) and pdf(wi) (...,) for the *sampleable* lobes.
-    Specular kinds evaluate to 0 (delta distributions)."""
+def bsdf_eval(mat_row, n, wo, wi, lam, tex_rgb_coeffs=None, eta_k=None,
+              enable_rough=True):
+    """f(wo, wi) (..., S) and pdf(wi) (...,) for the *sampleable* lobes
+    (Lambertian + GGX rough conductor). Delta kinds evaluate to 0.
+
+    ``eta_k``: optional precomputed (eta, k) spectra to share the dense
+    gather with the caller (only needed when rough conductors are present).
+    """
     cos_o = jnp.sum(n * wo, axis=-1)
     cos_i = jnp.sum(n * wi, axis=-1)
     same_hemi = (cos_o > 0) & (cos_i > 0)
@@ -275,11 +340,28 @@ def bsdf_eval(mat_row, n, wo, wi, lam, tex_rgb_coeffs=None):
     is_diffuse = mat_row.kind == LAMBERTIAN
     f = jnp.where((is_diffuse & same_hemi)[..., None], f_diffuse, 0.0)
     pdf = jnp.where(is_diffuse & same_hemi, pdf_diffuse, 0.0)
+
+    if enable_rough:
+        is_rough = mat_row.kind == ROUGH_CONDUCTOR
+        t, b = build_frame(n)
+        wo_l = to_local(t, b, n, wo)
+        wi_l = to_local(t, b, n, wi)
+        if eta_k is not None:
+            eta_s, k_s = eta_k
+        else:
+            eta_s = _eta_at(mat_row, lam)
+            k_s = _k_at(mat_row, lam)
+        tint = colorlib.sigmoid_polynomial(mat_row.albedo_coeffs, lam)
+        f_r, pdf_r = _rough_conductor_fpdf(wo_l, wi_l, mat_row.roughness,
+                                           eta_s, k_s, tint)
+        f = jnp.where(is_rough[..., None], f_r, f)
+        pdf = jnp.where(is_rough, pdf_r, pdf)
     return f, pdf
 
 
 def bsdf_sample(mat_row, n, wo, u2, u1, lam, wl_pdf=None,
-                tex_rgb_coeffs=None, eta_k=None):
+                tex_rgb_coeffs=None, eta_k=None, backface=None,
+                enable_rough=True):
     """Sample an outgoing direction for every hit in the batch.
 
     Returns (wi, weight (..., S), pdf, is_specular, terminate_secondary):
@@ -290,6 +372,11 @@ def bsdf_sample(mat_row, n, wo, u2, u1, lam, wl_pdf=None,
     ``eta_k``: optional precomputed (eta, k) spectra (from
     :func:`material_spectra`) so the per-bounce dense-table evaluation is
     shared with the emission fetch.
+
+    ``backface``: (...,) bool — the ray struck the geometric back side, i.e.
+    it is EXITING a closed shape (SurfaceInfo.backface). Required for correct
+    dielectric eta selection: ``n`` is face-forwarded toward ``wo``, so
+    ``dot(n, wo) > 0`` always holds and carries no inside/outside signal.
     """
     t, b = build_frame(n)
     wo_l = to_local(t, b, n, wo)
@@ -311,11 +398,33 @@ def bsdf_sample(mat_row, n, wo, u2, u1, lam, wl_pdf=None,
         eta_s = _eta_at(mat_row, lam)
         k_s = _k_at(mat_row, lam)
     fr_cond = fresnel_conductor(cos_i[..., None], eta_s, k_s)
-    w_cond = fr_cond * colorlib.sigmoid_polynomial(mat_row.albedo_coeffs, lam)
+    tint = colorlib.sigmoid_polynomial(mat_row.albedo_coeffs, lam)
+    w_cond = fr_cond * tint
 
-    # --- Dielectric: Fresnel-weighted reflect/refract at the hero wavelength
+    # --- Rough conductor: GGX half-vector sample, weight = f·cos/pdf
+    if enable_rough:
+        h_l = ggx_sample_half(jax.lax.stop_gradient(u2), mat_row.roughness)
+        wo_dot_h = jnp.sum(wo_l * h_l, axis=-1)
+        wi_l_rough = 2.0 * wo_dot_h[..., None] * h_l - wo_l
+        wi_rough = to_world(t, b, n, wi_l_rough)
+        f_rough, pdf_rough = _rough_conductor_fpdf(
+            wo_l, wi_l_rough, mat_row.roughness, eta_s, k_s, tint)
+        cos_i_rough = jnp.maximum(wi_l_rough[..., 2], 0.0)
+        w_rough = f_rough * (cos_i_rough
+                             / jnp.maximum(pdf_rough, 1e-12))[..., None]
+        w_rough = jnp.where((pdf_rough > 1e-12)[..., None], w_rough, 0.0)
+    else:
+        wi_rough, w_rough = wi_spec, w_cond
+        pdf_rough = jnp.ones(wo.shape[:-1])
+
+    # --- Dielectric: Fresnel-weighted reflect/refract at the hero wavelength.
+    # eta_rel = eta_transmitted / eta_incident relative to the (flipped) n:
+    # entering (front face) -> eta; exiting (back face) -> 1/eta.
     eta_hero = eta_s[..., 0]
-    entering = jnp.sum(n * wo, axis=-1) > 0
+    if backface is None:
+        entering = jnp.sum(n * wo, axis=-1) > 0   # legacy single-sided calls
+    else:
+        entering = ~backface
     eta_rel = jnp.where(entering, eta_hero, 1.0 / eta_hero)
     fr = fresnel_dielectric(cos_i, eta_rel)
     choose_reflect = jax.lax.stop_gradient(u1) < fr
@@ -330,12 +439,16 @@ def bsdf_sample(mat_row, n, wo, u2, u1, lam, wl_pdf=None,
     terminate = mat_row.kind == DIELECTRIC
 
     kind = mat_row.kind
-    is_spec = kind != LAMBERTIAN
+    # delta lobes only; the GGX lobe is sampleable (MIS applies to it)
+    is_spec = (kind == CONDUCTOR) | (kind == DIELECTRIC)
     wi = jnp.where((kind == LAMBERTIAN)[..., None], wi_diff,
                    jnp.where((kind == CONDUCTOR)[..., None], wi_spec,
-                             wi_diel))
+                             jnp.where((kind == ROUGH_CONDUCTOR)[..., None],
+                                       wi_rough, wi_diel)))
     weight = jnp.where((kind == LAMBERTIAN)[..., None], w_diff,
                        jnp.where((kind == CONDUCTOR)[..., None], w_cond,
-                                 w_diel))
-    pdf = jnp.where(kind == LAMBERTIAN, pdf_diff, 1.0)
+                                 jnp.where((kind == ROUGH_CONDUCTOR)[..., None],
+                                           w_rough, w_diel)))
+    pdf = jnp.where(kind == LAMBERTIAN, pdf_diff,
+                    jnp.where(kind == ROUGH_CONDUCTOR, pdf_rough, 1.0))
     return wi, weight, pdf, is_spec, terminate

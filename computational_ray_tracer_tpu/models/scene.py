@@ -48,6 +48,8 @@ class Scene:
     tri_mask: Optional[jnp.ndarray]       # (F,) backface-cull keep mask
     wr: float = 100.0                     # static world radius (aux data)
     use_pallas: bool = False              # Pallas kernel for mesh intersect
+    has_rough: bool = True                # any GGX materials (static; gates
+                                          # the glossy-lobe work in BSDFs)
 
     _FIELDS = ("spheres", "cylinders", "disks", "mesh", "octree",
                "materials", "lights", "sphere_mat", "cylinder_mat",
@@ -55,11 +57,11 @@ class Scene:
 
     def tree_flatten(self):
         return (tuple(getattr(self, f) for f in self._FIELDS),
-                (self.wr, self.use_pallas))
+                (self.wr, self.use_pallas, self.has_rough))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, wr=aux[0], use_pallas=aux[1])
+        return cls(*children, wr=aux[0], use_pallas=aux[1], has_rough=aux[2])
 
     @classmethod
     def build(cls, materials, lights, spheres=None, cylinders=None,
@@ -118,9 +120,12 @@ class Scene:
             if t is not None:
                 r = max(r, float(jnp.max(jnp.abs(t.o2w[:, :3, 3]))) +
                         float(jnp.max(jnp.abs(t.radius))))
+        from computational_ray_tracer_tpu.models.materials import (
+            ROUGH_CONDUCTOR)
+        has_rough = bool(np.any(np.asarray(mats.kind) == ROUGH_CONDUCTOR))
         return cls(sph, cyl, dsk, mesh, tree, mats, lts, sph_m, cyl_m,
                    dsk_m, tri_mat, tex, tri_mask, wr=10.0 * r,
-                   use_pallas=use_pallas)
+                   use_pallas=use_pallas, has_rough=has_rough)
 
     def world_radius(self):
         """Conservative scene bounding radius (static; safe under jit)."""
@@ -200,7 +205,8 @@ def scene_intersect(scene: Scene, o, d, t_max):
             uv=jnp.where(mask_v, si_new.uv, si.uv),
             dpdu=jnp.where(mask_v, si_new.dpdu, si.dpdu),
             dpdv=jnp.where(mask_v, si_new.dpdv, si.dpdv),
-            wo=jnp.where(mask_v, si_new.wo, si.wo))
+            wo=jnp.where(mask_v, si_new.wo, si.wo),
+            backface=jnp.where(mask, si_new.backface, si.backface))
 
     t_for_surf = jnp.where(valid, t_best, 1.0)
     if scene.spheres is not None:
@@ -227,7 +233,8 @@ def scene_intersect(scene: Scene, o, d, t_max):
                            mat_id)
 
     si = shp.SurfaceInfo(t=t_hit, valid=valid, p=si.p, n=si.n, uv=si.uv,
-                         dpdu=si.dpdu, dpdv=si.dpdv, wo=si.wo)
+                         dpdu=si.dpdu, dpdv=si.dpdv, wo=si.wo,
+                         backface=si.backface)
     return si, mat_id, tri_tests
 
 
@@ -237,7 +244,7 @@ def _empty_surface(o, d, t):
         t=t, valid=jnp.zeros(o.shape[:-1], bool), p=z3,
         n=jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), o.shape),
         uv=jnp.zeros(o.shape[:-1] + (2,)), dpdu=z3, dpdv=z3,
-        wo=-d)
+        wo=-d, backface=jnp.zeros(o.shape[:-1], bool))
 
 
 def scene_anyhit(scene: Scene, o, d, t_max):
@@ -274,10 +281,23 @@ def scene_anyhit(scene: Scene, o, d, t_max):
     return hit
 
 
-def scene_occluded(scene: Scene, p, wi, dist, eps=1e-3):
-    """Shadow-ray predicate: is anything between p and p + wi*dist?"""
-    o = p + wi * eps
-    t_max = jnp.full(p.shape[:-1], 1.0) * (dist - 2.0 * eps)
+def scene_occluded(scene: Scene, p, wi, dist, eps=1e-3, n=None):
+    """Shadow-ray predicate: is anything between p and p + wi*dist?
+
+    ``eps`` may be per-ray (scale-aware spawn offsets, see
+    integrator.spawn_eps). With ``n`` given, the origin is offset along the
+    surface normal (signed toward wi's hemisphere) — more robust than
+    offsetting along a grazing wi (the reference's per-hit FP error-bound
+    intent, Shapes.h:1226-1256)."""
+    eps = jnp.broadcast_to(jnp.asarray(eps), p.shape[:-1])
+    if n is None:
+        o = p + wi * eps[..., None]
+    else:
+        s = jnp.sign(jnp.sum(wi * n, axis=-1))
+        o = p + n * (s * eps)[..., None]
+    # end the ray just short of the light: relative shrink (survives scene
+    # scaling) plus the spawn offset
+    t_max = dist * (1.0 - 1e-3) - eps
     return scene_anyhit(scene, o, wi, t_max)
 
 

@@ -166,9 +166,73 @@ def stratified_2d(seed, pixel, sample_idx, dim, xs, ys, jitter=True):
 # Sobol' low-discrepancy points with Owen scrambling
 # ---------------------------------------------------------------------------
 
-def _sobol_matrices(n_dims=12, n_bits=32):
-    """Generate Sobol' direction-number matrices from primitive polynomials
-    (Joe-Kuo initialization for the first dimensions). Host-side, once."""
+def _primitive_polys_gf2(count):
+    """Enumerate primitive polynomials over GF(2) in increasing degree
+    (encoded as pbrt-style 'a': the inner coefficients, excluding the
+    leading and trailing 1). Host-side; replaces a hard-coded Joe-Kuo table
+    for the higher dimensions."""
+    out = []
+    deg = 1
+    while len(out) < count:
+        order = (1 << deg) - 1
+        # candidate poly: x^deg + (bits of a) + 1
+        for a in range(1 << (deg - 1)):
+            poly = (1 << deg) | (a << 1) | 1
+            # primitive iff x has multiplicative order 2^deg - 1 mod poly
+            x = 2  # the element 'x'
+            ok = True
+            # check x^order == 1 and x^(order/p) != 1 for prime factors p
+            def polymulmod(u, v):
+                r = 0
+                while v:
+                    if v & 1:
+                        r ^= u
+                    v >>= 1
+                    u <<= 1
+                    if u >> deg & 1:
+                        u ^= poly
+                return r
+
+            def polypow(b, e):
+                r = 1
+                while e:
+                    if e & 1:
+                        r = polymulmod(r, b)
+                    b = polymulmod(b, b)
+                    e >>= 1
+                return r
+
+            if polypow(x, order) != 1:
+                continue
+            # prime factors of order
+            n = order
+            fac = set()
+            p = 2
+            while p * p <= n:
+                while n % p == 0:
+                    fac.add(p)
+                    n //= p
+                p += 1
+            if n > 1:
+                fac.add(n)
+            for p in fac:
+                if polypow(x, order // p) == 1:
+                    ok = False
+                    break
+            if ok:
+                out.append((deg, a))
+                if len(out) >= count:
+                    break
+        deg += 1
+    return out
+
+
+def _sobol_matrices(n_dims=48, n_bits=32):
+    """Generate Sobol' direction-number matrices from primitive polynomials.
+    Dims 2-12 use the published Joe-Kuo initial direction numbers; higher
+    dims use enumerated primitive polynomials with deterministic hashed odd
+    initial values (valid digital nets; quality matters little at depth).
+    Host-side, once."""
     # (degree s, polynomial a, initial m values) for dims 2..12; dim 1 is
     # the van der Corput sequence.
     jk = [
@@ -184,6 +248,18 @@ def _sobol_matrices(n_dims=12, n_bits=32):
         (5, 11, [1, 1, 5, 1, 1]),
         (5, 13, [1, 1, 1, 3, 11]),
     ]
+    if n_dims - 1 > len(jk):
+        extra = _primitive_polys_gf2(len(jk) + (n_dims - 1))[len(jk):]
+        rng_h = np.uint64(0x9E3779B97F4A7C15)
+        state = np.uint64(12345)
+        for (s, a) in extra:
+            m_init = []
+            for i in range(1, s + 1):
+                with np.errstate(over="ignore"):
+                    state = state * rng_h + np.uint64(1)
+                # odd value < 2^i
+                m_init.append(int(state >> np.uint64(40)) % (1 << i) | 1)
+            jk.append((s, a, m_init))
     V = np.zeros((n_dims, n_bits), dtype=np.uint32)
     # dim 0: identity (van der Corput)
     for k in range(n_bits):

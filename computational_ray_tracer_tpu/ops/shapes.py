@@ -155,7 +155,13 @@ def bounds_intersect_p(o, inv_d, t_max, lo, hi):
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class SurfaceInfo:
-    """Per-ray hit record, SoA over the batch."""
+    """Per-ray hit record, SoA over the batch.
+
+    ``n`` is the face-forwarded shading normal (flipped toward ``wo``,
+    Shapes.h:1074-1075); ``backface`` records whether that flip happened —
+    i.e. the ray struck the geometric back side (it is *exiting* a closed
+    shape). Transmission code needs this bit because the flip erases the
+    inside/outside information from ``n`` itself."""
     t: jnp.ndarray        # (...,)
     valid: jnp.ndarray    # (...,) bool
     p: jnp.ndarray        # (..., 3) world hit point
@@ -164,10 +170,11 @@ class SurfaceInfo:
     dpdu: jnp.ndarray     # (..., 3)
     dpdv: jnp.ndarray     # (..., 3)
     wo: jnp.ndarray       # (..., 3) -ray direction
+    backface: jnp.ndarray  # (...,) bool — hit the geometric back side
 
     def tree_flatten(self):
         return (self.t, self.valid, self.p, self.n, self.uv, self.dpdu,
-                self.dpdv, self.wo), None
+                self.dpdv, self.wo, self.backface), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -262,7 +269,8 @@ def sphere_intersect_t(o, d, t_max, tab: SphereTable):
         return ((p[..., 2] >= tab.z_min) & (p[..., 2] <= tab.z_max)
                 & (phi <= tab.phi_max))
 
-    eps = 1e-4
+    eps = 1e-4 * r   # scale-relative near-t exclusion (spawn offsets do the
+    # real self-intersection work; this only rejects same-surface re-hits)
     t0_ok = has & (t0 > eps) & (t0 < t_max[..., None]) & clip_ok(t0)
     t1_ok = has & (t1 > eps) & (t1 < t_max[..., None]) & clip_ok(t1)
     t = jnp.where(t0_ok, t0, jnp.where(t1_ok, t1, jnp.inf))
@@ -307,14 +315,16 @@ def _finish_surface(o2w, w2o, o, d, t, p_obj, n_obj, u, v, dpdu_obj, dpdv_obj):
     nw = transform_normal(w2o, n_obj)
     nw = nw / jnp.maximum(jnp.linalg.norm(nw, axis=-1, keepdims=True), 1e-20)
     wo = -d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-20)
-    # face-forward (normal flipped toward the viewer, Shapes.h:1074-1075)
+    # face-forward (normal flipped toward the viewer, Shapes.h:1074-1075);
+    # the flip is recorded as `backface` so transmission keeps in/out info.
     flip = jnp.sum(nw * wo, axis=-1, keepdims=True) < 0.0
     nw = jnp.where(flip, -nw, nw)
     return SurfaceInfo(
         t=t, valid=jnp.isfinite(t),
         p=pw, n=nw, uv=jnp.stack([u, v], axis=-1),
         dpdu=transform_vector(o2w, dpdu_obj),
-        dpdv=transform_vector(o2w, dpdv_obj), wo=wo)
+        dpdv=transform_vector(o2w, dpdv_obj), wo=wo,
+        backface=flip[..., 0])
 
 
 # ---------------------------------------------------------------------------
@@ -373,7 +383,7 @@ def cylinder_intersect_t(o, d, t_max, tab: CylinderTable):
         return ((p[..., 2] >= tab.z_min) & (p[..., 2] <= tab.z_max)
                 & (phi <= tab.phi_max) & (hit_r > 0))
 
-    eps = 1e-4
+    eps = 1e-4 * r   # scale-relative (see sphere_intersect_t)
     t0_ok = has & (t0 > eps) & (t0 < t_max[..., None]) & clip_ok(t0)
     t1_ok = has & (t1 > eps) & (t1 < t_max[..., None]) & clip_ok(t1)
     return jnp.where(t0_ok, t0, jnp.where(t1_ok, t1, jnp.inf))
@@ -453,7 +463,7 @@ def disk_intersect_t(o, d, t_max, tab: DiskTable):
     p = oo + od * t[..., None]
     r2 = p[..., 0] ** 2 + p[..., 1] ** 2
     phi = _phi_of(p, tab.phi_max)
-    eps = 1e-4
+    eps = 1e-4 * tab.radius   # scale-relative (see sphere_intersect_t)
     ok = (~parallel & (t > eps) & (t < t_max[..., None])
           & (r2 <= tab.radius ** 2) & (r2 >= tab.inner_radius ** 2)
           & (phi <= tab.phi_max))

@@ -410,7 +410,11 @@ def mesh_surface(o, d, t, tri_idx, b1, b2, mesh: MeshData):
     n = jnp.where(nl > 1e-8, n / jnp.maximum(nl, 1e-20), ng)
 
     wo = -d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-20)
+    # In/out from the GEOMETRIC normal (winding), not the shading normal: at
+    # silhouettes the interpolated normal can disagree with the side the ray
+    # actually struck, and transmission eta selection must follow geometry.
+    backface = jnp.sum(ng * wo, axis=-1) < 0.0
     flip = jnp.sum(n * wo, axis=-1, keepdims=True) < 0.0
     n = jnp.where(flip, -n, n)
     return SurfaceInfo(t=t, valid=jnp.isfinite(t) & (tri_idx >= 0), p=p, n=n,
-                       uv=uv, dpdu=dpdu, dpdv=dpdv, wo=wo)
+                       uv=uv, dpdu=dpdu, dpdv=dpdv, wo=wo, backface=backface)

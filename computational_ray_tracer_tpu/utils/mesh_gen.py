@@ -53,13 +53,15 @@ def box(lo, hi, flip=False):
     ex = np.asarray([d[0], 0, 0], np.float32)
     ey = np.asarray([0, d[1], 0], np.float32)
     ez = np.asarray([0, 0, d[2]], np.float32)
+    # each face's (edge1, edge2) order makes cross(edge1, edge2) point
+    # outward, so the unflipped winding gives outward geometric normals
     faces = [
-        quad(lo, ez, ey, flip=not flip),            # -x
-        quad(lo + ex, ey, ez, flip=not flip),       # +x
-        quad(lo, ex, ez, flip=not flip),            # -y
-        quad(lo + ey, ez, ex, flip=not flip),       # +y
-        quad(lo, ey, ex, flip=not flip),            # -z
-        quad(lo + ez, ex, ey, flip=not flip),       # +z
+        quad(lo, ez, ey, flip=flip),            # -x
+        quad(lo + ex, ey, ez, flip=flip),       # +x
+        quad(lo, ex, ez, flip=flip),            # -y
+        quad(lo + ey, ez, ex, flip=flip),       # +y
+        quad(lo, ey, ex, flip=flip),            # -z
+        quad(lo + ez, ex, ey, flip=flip),       # +z
     ]
     return merge_meshes(faces)[:3]
 
