@@ -50,13 +50,23 @@ DIMS_PER_BOUNCE = 8  # bsdf 2D + bsdf 1D + light select + light pos 2D + rr
 
 @dataclasses.dataclass(frozen=True)
 class SamplerConfig:
-    """Which pixel sampler supplies the u's (samplers.h tiers)."""
-    kind: str = "independent"   # independent | stratified | sobol
+    """Which pixel sampler supplies the u's (samplers.h tiers).
+
+    ``sobol_global`` is the SobolIntervalToIndex tier (samplers.h:144-327):
+    one Owen-scrambled sequence over the whole image; needs ``width``/``m``
+    (auto-filled from RenderConfig.resolution)."""
+    kind: str = "independent"   # independent | stratified | sobol | sobol_global
     spp: int = 16
     xs: int = 4                 # stratified grid (xs*ys == spp)
     ys: int = 4
     seed: int = 0
     jitter: bool = True
+    width: int = 0              # image width (sobol_global pixel decode)
+    m: int = 0                  # log2 image scale (sobol_global)
+
+    def _pxpy(self, pixel):
+        w = jnp.uint32(self.width)
+        return pixel % w, pixel // w
 
     def get_1d(self, pixel, sample_idx, dim):
         if self.kind == "stratified":
@@ -65,6 +75,10 @@ class SamplerConfig:
         if self.kind == "sobol":
             return rng.sobol_owen_1d(self.seed, pixel, sample_idx, dim,
                                      spp=self.spp)
+        if self.kind == "sobol_global":
+            px, py = self._pxpy(pixel)
+            return rng.sobol_global_1d(self.seed, px, py, sample_idx, dim,
+                                       self.m)
         return rng.independent_1d(self.seed, pixel, sample_idx, dim)
 
     def get_2d(self, pixel, sample_idx, dim):
@@ -74,6 +88,14 @@ class SamplerConfig:
         if self.kind == "sobol":
             return rng.sobol_owen_2d(self.seed, pixel, sample_idx, dim,
                                      spp=self.spp)
+        if self.kind == "sobol_global":
+            px, py = self._pxpy(pixel)
+            if isinstance(dim, int) and dim == DIM_FILTER:
+                # in-pixel position from sequence dims 0/1 (GetPixel2D)
+                return rng.sobol_global_pixel2d(self.seed, px, py,
+                                                sample_idx, self.m)
+            return rng.sobol_global_2d(self.seed, px, py, sample_idx, dim,
+                                       self.m)
         return rng.independent_2d(self.seed, pixel, sample_idx, dim)
 
 
@@ -95,6 +117,17 @@ class RenderConfig:
     # (Shapes.h:1226-1256) with a conservative relative bound that renders
     # unit-scale and 1000x-scale scenes identically.
     ray_eps_scale: float = 3e-5
+
+    def __post_init__(self):
+        # sobol_global needs the image geometry; derive it once here.
+        s = self.sampler
+        if s.kind == "sobol_global" and s.width == 0:
+            w, h = self.resolution
+            m = max(int(np.ceil(np.log2(max(w, h, 1)))), 0)
+            assert s.spp <= 1 << max(32 - 2 * m, 0), \
+                "sobol_global: spp * 4^m must fit in 32 bits"
+            object.__setattr__(self, "sampler",
+                               dataclasses.replace(s, width=w, m=m))
 
 
 def spawn_eps(si, cfg: RenderConfig):

@@ -367,6 +367,139 @@ def sobol_owen_2d(seed, pixel, sample_idx, dim, spp=None):
 
 
 # ---------------------------------------------------------------------------
+# Global Sobol' sampler: one sequence over the whole image
+# (SobolSampler + SobolIntervalToIndex capability, samplers.h:144-327)
+# ---------------------------------------------------------------------------
+#
+# The reference maps (pixel, sampleIndex) to the index of the global Sobol'
+# point whose first two dimensions land in that pixel (SobolIntervalToIndex
+# with precomputed uint64 VdC matrices). Here the same mapping is derived
+# from first principles in 32 bits (TPU has no uint64): with the image
+# scaled to 2^m, the point index i = frame·4^m + j, and the low 2m bits j
+# solve a GF(2) linear system "top m bits of dims 0/1 == pixel coords".
+# The system's inverse is precomputed host-side per static m; on device the
+# solve is a 2m-term mask-XOR reduction — pure VPU bit ops.
+
+import functools as _functools
+
+
+def _sobol_u32_host(index, dim):
+    v = np.uint32(0)
+    index = int(index)
+    k = 0
+    while index:
+        if index & 1:
+            v ^= SOBOL_MATRICES[dim, k]
+        index >>= 1
+        k += 1
+    return int(v)
+
+
+def _gf2_inv(M):
+    """Invert a square GF(2) matrix (uint8 0/1 entries) by Gauss-Jordan."""
+    n = M.shape[0]
+    A = np.concatenate([M.copy() % 2, np.eye(n, dtype=np.uint8)], axis=1)
+    for col in range(n):
+        piv = None
+        for r in range(col, n):
+            if A[r, col]:
+                piv = r
+                break
+        if piv is None:
+            raise ValueError("singular GF(2) matrix")
+        if piv != col:
+            A[[col, piv]] = A[[piv, col]]
+        for r in range(n):
+            if r != col and A[r, col]:
+                A[r] ^= A[col]
+    return A[:, n:]
+
+
+@_functools.lru_cache(maxsize=None)
+def _global_sobol_cols(m):
+    """For image scale 2^m: uint32 masks C[r] such that the low-2m index
+    bits are j = XOR_r bit_r(target ^ u_frame) * C[r], where the 2m-bit
+    target packs (px << m) | py MSB-first."""
+    nbits = 2 * m
+    M = np.zeros((nbits, nbits), np.uint8)
+    for k in range(nbits):            # index bit k -> output bits
+        x0 = _sobol_u32_host(1 << k, 0)
+        x1 = _sobol_u32_host(1 << k, 1)
+        vec = ((x0 >> (32 - m)) << m) | (x1 >> (32 - m))
+        for r in range(nbits):
+            M[r, k] = (vec >> (nbits - 1 - r)) & 1
+    Minv = _gf2_inv(M)
+    cols = np.zeros(nbits, np.uint32)
+    for r in range(nbits):
+        mask = 0
+        for k in range(nbits):
+            if Minv[k, r]:
+                mask |= 1 << k
+        cols[r] = mask
+    return jnp.asarray(cols)
+
+
+def sobol_global_index(px, py, frame, m):
+    """Index of the ``frame``-th global Sobol' point landing in pixel
+    (px, py) of the 2^m x 2^m image (SobolIntervalToIndex capability).
+    ``m`` is static. Requires frame < 2^(32-2m)."""
+    if m == 0:
+        return _u32(frame)
+    cols = _global_sobol_cols(m)                    # (2m,) uint32
+    i_hi = _u32(frame) << jnp.uint32(2 * m)
+    x0 = sobol_sample_u32(i_hi, jnp.uint32(0))
+    x1 = sobol_sample_u32(i_hi, jnp.uint32(1))
+    sh = jnp.uint32(32 - m)
+    u = ((x0 >> sh) << jnp.uint32(m)) | (x1 >> sh)
+    t = ((_u32(px) << jnp.uint32(m)) | _u32(py)) ^ u
+    nbits = 2 * m
+    ks = jnp.arange(nbits, dtype=jnp.uint32)
+    bits = (t[..., None] >> (jnp.uint32(nbits - 1) - ks)) & jnp.uint32(1)
+    terms = cols * bits
+    j = terms[..., 0]
+    for k in range(1, nbits):
+        j = j ^ terms[..., k]
+    return i_hi | j
+
+
+def sobol_global_pixel2d(seed, px, py, frame, m):
+    """The in-pixel fractional position of the global point (GetPixel2D):
+    dims 0/1 shifted left by m — the low bits below the pixel grid."""
+    idx = sobol_global_index(px, py, frame, m)
+    x0 = sobol_sample_u32(idx, jnp.uint32(0)) << jnp.uint32(m)
+    x1 = sobol_sample_u32(idx, jnp.uint32(1)) << jnp.uint32(m)
+    return jnp.stack([u32_to_float(x0), u32_to_float(x1)], axis=-1)
+
+
+def _sobol_global_dim_u32(seed, idx, dim):
+    """One scrambled global-sequence value. The FastOwen scramble is seeded
+    per DIMENSION only (not per pixel): all pixels share one globally
+    stratified sequence — that is the whole point of the global mapping.
+    Dims beyond the direction-number table wrap, but the scramble stays
+    keyed on the UNWRAPPED dim, so reused base dims get independent Owen
+    randomizations (deep-bounce dims; dim may be a traced value)."""
+    d = _u32(dim) % jnp.uint32(N_SOBOL_DIMS)
+    v = sobol_sample_u32(idx, d)
+    return fast_owen_scramble(v, hash_u32(seed, dim, 0x6A09E667))
+
+
+def sobol_global_1d(seed, px, py, frame, dim, m):
+    """Global-sequence draw for integrator dimension ``dim`` (int or traced).
+    Sequence dims 0/1 are consumed by the pixel mapping, so dim d maps to
+    sequence dim d+2."""
+    idx = sobol_global_index(px, py, frame, m)
+    return u32_to_float(_sobol_global_dim_u32(seed, idx, _u32(dim) + 2))
+
+
+def sobol_global_2d(seed, px, py, frame, dim, m):
+    idx = sobol_global_index(px, py, frame, m)
+    d = _u32(dim) + 2
+    v0 = _sobol_global_dim_u32(seed, idx, d)
+    v1 = _sobol_global_dim_u32(seed, idx, d + 1)
+    return jnp.stack([u32_to_float(v0), u32_to_float(v1)], axis=-1)
+
+
+# ---------------------------------------------------------------------------
 # Host-side PCG32 (parity tool for test vectors; rng.h:24-144)
 # ---------------------------------------------------------------------------
 
