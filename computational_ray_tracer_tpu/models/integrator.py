@@ -326,32 +326,59 @@ def _path_scan(scene, o, d, wl, pixel, sample_idx, cfg, mode):
             pdf_prev=jnp.where(hit, pdf_bsdf, state["pdf_prev"]),
             n_prev=jnp.where(hit[..., None], si.n, state["n_prev"]),
             lam_pdf=lam_pdf)
-        return state, None
+        return state, jnp.sum(alive.astype(jnp.float32))
 
     # One lax.scan over bounce depth (SURVEY §7 stance #1): the body is
     # traced ONCE regardless of max_depth, keeping the HLO small and
     # compile times flat as depth grows. depth is a traced scalar; all
     # sample-dimension arithmetic and the RR gate are data arithmetic.
-    state, _ = jax.lax.scan(bounce, init,
-                            jnp.arange(cfg.max_depth, dtype=jnp.uint32))
-    return state["L"], spec.SampledWavelengths(wl.lam, state["lam_pdf"])
+    state, alive_counts = jax.lax.scan(
+        bounce, init, jnp.arange(cfg.max_depth, dtype=jnp.uint32))
+    wl_out = spec.SampledWavelengths(wl.lam, state["lam_pdf"])
+    return state["L"], wl_out, alive_counts
+
+
+def alive_fractions(scene, camera, cfg: RenderConfig, sample_idx=0):
+    """Per-depth alive-ray fractions of one wavefront pass — honest rays/s
+    accounting alongside the nominal count (dead rays ride the lockstep
+    bounce scan as masked work)."""
+    w, h = cfg.resolution
+    s = cfg.sampler
+    pixel = jnp.arange(w * h, dtype=jnp.uint32)
+    px = (pixel % w).astype(jnp.float32)
+    py = (pixel // w).astype(jnp.float32)
+    u_lam = s.get_1d(pixel, jnp.uint32(sample_idx), DIM_LAMBDA)
+    wl = _sample_wavelengths(cfg, u_lam)
+    o, d = camera.generate_rays(
+        jnp.stack([px + 0.5, py + 0.5], axis=-1),
+        s.get_2d(pixel, jnp.uint32(sample_idx), DIM_LENS))
+    mode = {"walk": "walk", "simple": "simple"}.get(cfg.integrator, "mis")
+    _, _, counts = _path_scan(scene, o, d, wl, pixel,
+                              jnp.uint32(sample_idx), cfg, mode)
+    return counts / (w * h)
 
 
 def li_path(scene, o, d, wl, pixel, sample_idx, cfg):
     """Path: MIS combination of NEE and BSDF-sampled emission with the
     power heuristic, RR termination (the Integrator.h "Path" intent)."""
-    return _path_scan(scene, o, d, wl, pixel, sample_idx, cfg, mode="mis")
+    L, wl_out, _ = _path_scan(scene, o, d, wl, pixel, sample_idx, cfg,
+                              mode="mis")
+    return L, wl_out
 
 
 def li_simple_path(scene, o, d, wl, pixel, sample_idx, cfg):
     """SimplePath: NEE at every diffuse vertex, emission counted on
     specular/camera prefixes only."""
-    return _path_scan(scene, o, d, wl, pixel, sample_idx, cfg, mode="simple")
+    L, wl_out, _ = _path_scan(scene, o, d, wl, pixel, sample_idx, cfg,
+                              mode="simple")
+    return L, wl_out
 
 
 def li_random_walk(scene, o, d, wl, pixel, sample_idx, cfg):
     """RandomWalk: BSDF sampling only, lights found by hitting them."""
-    return _path_scan(scene, o, d, wl, pixel, sample_idx, cfg, mode="walk")
+    L, wl_out, _ = _path_scan(scene, o, d, wl, pixel, sample_idx, cfg,
+                              mode="walk")
+    return L, wl_out
 
 
 # ---------------------------------------------------------------------------

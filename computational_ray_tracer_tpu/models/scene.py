@@ -37,6 +37,7 @@ class Scene:
     disks: Optional[shp.DiskTable]
     mesh: Optional[trimod.MeshData]
     octree: Optional[octmod.Octree]
+    packed_octree: Optional[Any]          # pallas_octree.PackedOctree
     materials: MaterialTable
     lights: LightTable
     # material id per shape instance, per type
@@ -52,8 +53,9 @@ class Scene:
                                           # the glossy-lobe work in BSDFs)
 
     _FIELDS = ("spheres", "cylinders", "disks", "mesh", "octree",
-               "materials", "lights", "sphere_mat", "cylinder_mat",
-               "disk_mat", "mesh_tri_mat", "texture", "tri_mask")
+               "packed_octree", "materials", "lights", "sphere_mat",
+               "cylinder_mat", "disk_mat", "mesh_tri_mat", "texture",
+               "tri_mask")
 
     def tree_flatten(self):
         return (tuple(getattr(self, f) for f in self._FIELDS),
@@ -84,17 +86,19 @@ class Scene:
         dsk, dsk_m = tab(shp.DiskTable.build, disks)
 
         tree = None
+        packed = None
         tri_mat = None
         tri_mask = None
         if mesh is not None:
             mesh_data, tri_mat = mesh if isinstance(mesh, tuple) else (mesh, None)
             if tri_mat is None:
                 tri_mat = jnp.zeros((mesh_data.n_triangles,), jnp.int32)
-            if use_octree:
-                tree = octmod.build_octree(mesh_data)
             if backface_cull_dir is not None:
                 tri_mask = trimod.compute_backface_mask(mesh_data,
                                                         backface_cull_dir)
+            if use_octree:
+                tree, packed = octmod.build_octree(mesh_data, pack=True,
+                                                   tri_mask=tri_mask)
             mesh = mesh_data
 
         tex = None
@@ -123,8 +127,8 @@ class Scene:
         from computational_ray_tracer_tpu.models.materials import (
             ROUGH_CONDUCTOR)
         has_rough = bool(np.any(np.asarray(mats.kind) == ROUGH_CONDUCTOR))
-        return cls(sph, cyl, dsk, mesh, tree, mats, lts, sph_m, cyl_m,
-                   dsk_m, tri_mat, tex, tri_mask, wr=10.0 * r,
+        return cls(sph, cyl, dsk, mesh, tree, packed, mats, lts, sph_m,
+                   cyl_m, dsk_m, tri_mat, tex, tri_mask, wr=10.0 * r,
                    use_pallas=use_pallas, has_rough=has_rough)
 
     def world_radius(self):
@@ -134,6 +138,31 @@ class Scene:
 
 # Shape-type tags in the winner encoding
 TYPE_NONE, TYPE_SPHERE, TYPE_CYLINDER, TYPE_DISK, TYPE_MESH = 0, 1, 2, 3, 4
+
+
+def _use_packet_kernel(scene):
+    """The Pallas packet-traversal kernel is the default octree path on TPU
+    (VERDICT r1 item 2); the jnp lockstep traversal stays the CPU /
+    differentiability oracle. use_pallas forces the kernel (interpret mode
+    off-TPU, for tests)."""
+    return scene.packed_octree is not None and (
+        jax.default_backend() == "tpu" or scene.use_pallas)
+
+
+def _mesh_closest_hit(scene, o, d, t_best):
+    if scene.octree is not None:
+        if _use_packet_kernel(scene):
+            from computational_ray_tracer_tpu.ops import pallas_octree
+            return pallas_octree.octree_intersect_pallas(
+                o, d, t_best, scene.packed_octree)
+        return octmod.octree_traverse(
+            o, d, t_best, scene.octree, scene.mesh, scene.tri_mask)
+    if scene.use_pallas:
+        from computational_ray_tracer_tpu.ops import pallas_intersect
+        return pallas_intersect.mesh_intersect_pallas(
+            o, d, t_best, scene.mesh, scene.tri_mask)
+    return trimod.mesh_intersect_brute(o, d, t_best, scene.mesh,
+                                       scene.tri_mask)
 
 
 def scene_intersect(scene: Scene, o, d, t_max):
@@ -170,16 +199,7 @@ def scene_intersect(scene: Scene, o, d, t_max):
         t_best, type_best, idx_best, _ = fold(t_all, TYPE_DISK, t_best,
                                               type_best, idx_best)
     if scene.mesh is not None:
-        if scene.octree is not None:
-            tm, ti, mb1, mb2, tests = octmod.octree_traverse(
-                o, d, t_best, scene.octree, scene.mesh, scene.tri_mask)
-        elif scene.use_pallas:
-            from computational_ray_tracer_tpu.ops import pallas_intersect
-            tm, ti, mb1, mb2, tests = pallas_intersect.mesh_intersect_pallas(
-                o, d, t_best, scene.mesh, scene.tri_mask)
-        else:
-            tm, ti, mb1, mb2, tests = trimod.mesh_intersect_brute(
-                o, d, t_best, scene.mesh, scene.tri_mask)
+        tm, ti, mb1, mb2, tests = _mesh_closest_hit(scene, o, d, t_best)
         tri_tests = tri_tests + tests
         better = tm < t_best
         t_best = jnp.where(better, tm, t_best)
@@ -266,9 +286,12 @@ def scene_anyhit(scene: Scene, o, d, t_max):
         # Shrink t_max for already-occluded rays to 0 so the traversal's
         # box/triangle tests prune immediately (lockstep early-out).
         t_m = jnp.where(hit, 0.0, t_max)
-        if scene.octree is not None:
+        if scene.octree is not None and not _use_packet_kernel(scene):
             tm, ti, *_ = octmod.octree_traverse(
                 o, d, t_m, scene.octree, scene.mesh, scene.tri_mask)
+            hit = hit | (jnp.isfinite(tm) & (ti >= 0))
+        elif scene.octree is not None:
+            tm, ti, *_ = _mesh_closest_hit(scene, o, d, t_m)
             hit = hit | (jnp.isfinite(tm) & (ti >= 0))
         elif scene.use_pallas:
             from computational_ray_tracer_tpu.ops import pallas_intersect

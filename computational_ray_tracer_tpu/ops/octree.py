@@ -128,31 +128,131 @@ class Octree:
         }
 
 
+def _split_oversized_leaves(tree: Octree, cap):
+    """Post-pass: any leaf holding more than ``cap`` triangles (the
+    abort-split / max-depth escape hatches can produce them) becomes an
+    interior node whose 8 children share its bounds and split the triangle
+    list ~evenly (recursing while still over cap). Traversal results are
+    identical — the same triangles get tested for any ray reaching those
+    bounds — but the padded leaf width, which EVERY leaf step pays for,
+    drops back to ``cap``."""
+    counts = np.asarray(tree.leaf_counts)
+    if counts.size == 0 or counts.max() <= cap:
+        return tree
+    node_lo = [row for row in np.asarray(tree.node_lo)]
+    node_hi = [row for row in np.asarray(tree.node_hi)]
+    child0 = list(np.asarray(tree.node_child0))
+    leaf_id = list(np.asarray(tree.node_leaf_id))
+    old_tris = np.asarray(tree.leaf_tris)
+    leaves = [old_tris[i, :counts[i]] for i in range(len(counts))]
+
+    # DEAD child bounds: the slab test can never pass (no NaNs either).
+    dead_lo = np.full(3, 1e30, np.float32)
+    dead_hi = np.full(3, -1e30, np.float32)
+
+    new_leaves = {}          # leaf_idx -> tris (for rebuilt leaf table)
+    work = [n for n in range(len(child0))
+            if leaf_id[n] >= 0 and counts[leaf_id[n]] > cap]
+    tris_of = {n: leaves[leaf_id[n]] for n in work}
+    for n in work:
+        leaf_id[n] = -1      # becomes interior
+    while work:
+        n = work.pop()
+        tris = tris_of.pop(n)
+        base = len(child0)
+        child0[n] = base
+        chunks = np.array_split(tris, 8)
+        for c in range(8):
+            if len(chunks[c]) == 0:
+                node_lo.append(dead_lo)
+                node_hi.append(dead_hi)
+                child0.append(-1)
+                leaf_id.append(-2)       # dead leaf, patched below
+            else:
+                node_lo.append(node_lo[n])
+                node_hi.append(node_hi[n])
+                child0.append(-1)
+                if len(chunks[c]) > cap:
+                    leaf_id.append(-1)
+                    work.append(base + c)
+                    tris_of[base + c] = chunks[c]
+                else:
+                    leaf_id.append(-3)   # pending leaf
+                    new_leaves[base + c] = chunks[c]
+
+    # Rebuild the leaf table: keep still-valid old leaves + the new chunks.
+    out_tris, out_counts = [], []
+    for n in range(len(child0)):
+        if leaf_id[n] == -2:             # dead filler: empty leaf
+            leaf_id[n] = len(out_tris)
+            out_tris.append(np.zeros((0,), np.int64))
+            out_counts.append(0)
+        elif leaf_id[n] == -3:           # new chunk leaf
+            leaf_id[n] = len(out_tris)
+            out_tris.append(new_leaves[n])
+            out_counts.append(len(new_leaves[n]))
+        elif leaf_id[n] >= 0:            # surviving original leaf
+            t = leaves[leaf_id[n]]
+            leaf_id[n] = len(out_tris)
+            out_tris.append(t)
+            out_counts.append(len(t))
+    new_cap = max(max(out_counts, default=1), 1)
+    flat = np.full((len(out_tris), new_cap), -1, np.int32)
+    for i, t in enumerate(out_tris):
+        flat[i, :len(t)] = t
+    return Octree(
+        node_lo=np.asarray(node_lo, np.float32),
+        node_hi=np.asarray(node_hi, np.float32),
+        node_child0=np.asarray(child0, np.int32),
+        node_leaf_id=np.asarray(leaf_id, np.int32),
+        leaf_tris=flat,
+        leaf_counts=np.asarray(out_counts, np.int32))
+
+
 def build_octree(mesh: trimod.MeshData, capacity=TRIANGLE_CAPACITY,
                  max_depth=MAX_DEPTH, padding=None,
-                 backend="auto"):
+                 backend="auto", pack=False, tri_mask=None):
     """Top-down octree build over a (world-space) mesh. Returns an Octree of
-    flat device tensors. Splits stop at `capacity` triangles, `max_depth`,
-    or when splitting fails to separate (the abort rule,
-    Octtree_Model.h:331-340).
+    flat device tensors (or ``(Octree, PackedOctree)`` with ``pack=True``).
+    Splits stop at `capacity` triangles, `max_depth`, or when splitting
+    fails to separate (the abort rule, Octtree_Model.h:331-340).
 
     backend: "native" (C++ builder), "numpy", or "auto" (native when
     available, else numpy). Both produce identical trees.
 
     padding: absolute child-bounds pad; None = CHILD_PADDING_FRAC x root
-    max extent (scale-invariant equivalent of the reference's 0.01)."""
+    max extent (scale-invariant equivalent of the reference's 0.01).
+
+    The whole pipeline (build + oversized-leaf split + kernel packing) stays
+    in host NumPy and uploads each tensor to the device exactly ONCE —
+    device->host readbacks are pathologically slow on remote-attached TPUs.
+    Heavy packed tensors (pre-gathered leaf vertices) are materialized ON
+    DEVICE from the compact id tables (pallas_octree.pack_from_numpy)."""
     if padding is None:
         pos = np.asarray(mesh.positions)
         padding = CHILD_PADDING_FRAC * float(
             (pos.max(axis=0) - pos.min(axis=0)).max())
+    tree = None
     if backend in ("auto", "native"):
         tree = _build_octree_native(mesh, capacity, max_depth, padding)
-        if tree is not None:
-            return tree
-        if backend == "native":
+        if tree is None and backend == "native":
             raise RuntimeError("native octree builder unavailable "
                                "(g++ compile failed?)")
-    return _build_octree_numpy(mesh, capacity, max_depth, padding)
+    if tree is None:
+        tree = _build_octree_numpy(mesh, capacity, max_depth, padding)
+    tree_np = _split_oversized_leaves(tree, capacity)
+    tree_dev = Octree(
+        node_lo=jnp.asarray(tree_np.node_lo),
+        node_hi=jnp.asarray(tree_np.node_hi),
+        node_child0=jnp.asarray(tree_np.node_child0),
+        node_leaf_id=jnp.asarray(tree_np.node_leaf_id),
+        leaf_tris=jnp.asarray(tree_np.leaf_tris),
+        leaf_counts=jnp.asarray(tree_np.leaf_counts))
+    if not pack:
+        return tree_dev
+    from computational_ray_tracer_tpu.ops import pallas_octree
+    packed = pallas_octree.pack_from_numpy(tree_np, mesh, tri_mask)
+    return tree_dev, packed
 
 
 def _build_octree_native(mesh, capacity, max_depth, padding):
@@ -183,11 +283,9 @@ def _build_octree_native(mesh, capacity, max_depth, padding):
         leaf_counts = np.ctypeslib.as_array(out.leaf_counts, (L,)).copy()
     finally:
         lib.crt_free_octree(ctypes.byref(out))
-    return Octree(node_lo=jnp.asarray(node_lo), node_hi=jnp.asarray(node_hi),
-                  node_child0=jnp.asarray(child0),
-                  node_leaf_id=jnp.asarray(leaf_id),
-                  leaf_tris=jnp.asarray(leaf_tris),
-                  leaf_counts=jnp.asarray(leaf_counts))
+    return Octree(node_lo=node_lo, node_hi=node_hi, node_child0=child0,
+                  node_leaf_id=leaf_id, leaf_tris=leaf_tris,
+                  leaf_counts=leaf_counts)
 
 
 def _build_octree_numpy(mesh: trimod.MeshData, capacity=TRIANGLE_CAPACITY,
@@ -261,12 +359,12 @@ def _build_octree_numpy(mesh: trimod.MeshData, capacity=TRIANGLE_CAPACITY,
         leaf_counts[i] = len(t)
 
     return Octree(
-        node_lo=jnp.asarray(np.asarray(nodes_lo, np.float32)),
-        node_hi=jnp.asarray(np.asarray(nodes_hi, np.float32)),
-        node_child0=jnp.asarray(np.asarray(child0, np.int32)),
-        node_leaf_id=jnp.asarray(np.asarray(leaf_id, np.int32)),
-        leaf_tris=jnp.asarray(leaf_tris),
-        leaf_counts=jnp.asarray(leaf_counts))
+        node_lo=np.asarray(nodes_lo, np.float32),
+        node_hi=np.asarray(nodes_hi, np.float32),
+        node_child0=np.asarray(child0, np.int32),
+        node_leaf_id=np.asarray(leaf_id, np.int32),
+        leaf_tris=leaf_tris,
+        leaf_counts=leaf_counts)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,432 @@
+"""Pallas TPU octree traversal: packet (ray-tile) traversal with a shared
+scalar stack (SURVEY §7 stance #2 plan of record; the performance path for
+``Octtree_Model::Traverse``, Octtree_Model.h:66-127).
+
+Why packets: TPUs have no per-lane control flow, so a per-ray stack would
+serialize. A *packet* of TILE_R coherent rays shares ONE stack in SMEM: a
+node is visited if ANY ray in the packet needs it. Camera/sorted wavefronts
+are coherent, so the shared walk visits barely more nodes than a single ray
+would. Divergence cost is bounded by the packet, not the wavefront — unlike
+the jnp lockstep traversal (``octree.octree_traverse``) where one straggler
+stalls every ray in flight.
+
+Kernel structure, per grid step (one packet of 8x128 rays in VMEM):
+
+1. **Walk phase** (scalar): pop node ids off the SMEM stack; slab-test the
+   packet against the node bounds (vector (8,128) math against scalar
+   bounds); push the 8 children in *octant order* (near-to-far for the
+   packet's majority direction sign — the front-to-back ordering SURVEY's
+   hard-part #2 calls for) or append leaf references to a pending queue.
+2. **Leaf phase** (vector): stream the pending leaves' pre-gathered vertex
+   rows from HBM with double-buffered async DMA; each leaf is one
+   (CAP, 8, 128) watertight test (triangles on the leading axis, the ray
+   tile on the trailing two) folded into the running closest hit.
+
+Phases alternate so t_best tightens between flushes and prunes later nodes.
+
+The leaf vertex table is *pre-gathered* at pack time (every leaf owns CAP
+contiguous rows of [p0 p1 p2] + padding): leaf fetches become contiguous
+DMA, never gathers. Hit outputs are (t, leaf-row, b1, b2); the row -> tri-id
+mapping is one XLA gather outside the kernel. Like the brute kernel,
+intersection ids are sampling decisions: wrapped in custom_jvp with zero
+tangents (the jnp traversal stays the differentiable/CPU oracle).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from computational_ray_tracer_tpu.ops.shapes import MACHINE_EPS
+from computational_ray_tracer_tpu.ops import octree as octmod
+from computational_ray_tracer_tpu.ops import triangle as trimod
+
+RAY_SUB = 8            # sublanes of the ray tile
+RAY_LANES = 128        # lanes of the ray tile
+TILE_R = RAY_SUB * RAY_LANES
+STACK_SIZE = 256       # 8 * depth + slack (depth <= ~24 incl. chain splits)
+PEND_SIZE = 64         # leaf flushes between walk phases
+# Leaf row width. Mosaic tiles HBM arrays to 128 lanes and requires DMA
+# slices lane-aligned to 128, so rows are padded to one full lane tile
+# (9 vertex floats + pad). Capacity cost only — DMA bandwidth per leaf is
+# ~20KB, far below what the leaf's (cap, 8, 128) test amortizes.
+VERT_COLS = 128
+
+
+def _gamma(n):
+    ne = n * MACHINE_EPS
+    return ne / (1.0 - ne)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class PackedOctree:
+    """Kernel-ready flat octree + pre-gathered leaf vertices."""
+    node_bounds: jnp.ndarray    # (M, 8) f32: lo xyz, hi xyz, pad
+    node_meta: jnp.ndarray      # (M, 4) i32: child0, leaf_row_off, count, pad
+    leaf_verts: jnp.ndarray     # (L*CAP, VERT_COLS) f32
+    row_tri: jnp.ndarray        # (L*CAP,) i32 tri id per row (-1 pad)
+    cap: int                    # rows per leaf (static)
+
+    def tree_flatten(self):
+        return (self.node_bounds, self.node_meta, self.leaf_verts,
+                self.row_tri), self.cap
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, cap=aux)
+
+
+def pack_from_numpy(tree_np, mesh: trimod.MeshData, tri_mask=None):
+    """Pack a host-side (NumPy) Octree for the Pallas kernel.
+
+    Compact id/bounds tables are prepared in NumPy and uploaded once; the
+    heavy pre-gathered leaf-vertex rows are materialized ON DEVICE with one
+    XLA gather from the (device-resident) mesh — the rows tensor is large
+    (VERT_COLS lane padding) and must never cross the host<->device link.
+
+    ``tri_mask``: optional (F,) keep mask (backface culling) baked in by
+    degenerating dropped triangles (zero rows -> det==0 -> never hits)."""
+    node_lo = np.asarray(tree_np.node_lo, np.float32)
+    node_hi = np.asarray(tree_np.node_hi, np.float32)
+    child0 = np.asarray(tree_np.node_child0, np.int32)
+    leaf_id = np.asarray(tree_np.node_leaf_id, np.int32)
+    leaf_tris = np.asarray(tree_np.leaf_tris, np.int32)
+    counts = np.asarray(tree_np.leaf_counts, np.int32)
+    L, cap0 = leaf_tris.shape
+    cap = max(int(np.ceil(cap0 / 8)) * 8, 8)      # sublane-aligned
+
+    M = node_lo.shape[0]
+    bounds = np.zeros((M, 8), np.float32)
+    bounds[:, 0:3] = node_lo
+    bounds[:, 3:6] = node_hi
+    meta = np.zeros((M, 4), np.int32)
+    meta[:, 0] = child0
+    is_leaf = child0 < 0
+    lid = np.maximum(leaf_id, 0)
+    meta[:, 1] = np.where(is_leaf, lid * cap, 0)
+    meta[:, 2] = np.where(is_leaf, counts[lid], 0)
+
+    flat = np.full((L, cap), -1, np.int32)
+    flat[:, :cap0] = leaf_tris
+    valid = flat >= 0
+    if tri_mask is not None:
+        valid &= np.asarray(tri_mask, bool)[np.maximum(flat, 0)]
+    row_tri_np = np.where(valid, flat, -1).reshape(-1)
+
+    # device-side vertex gather (one upload of ids, no giant host array)
+    row_tri = jnp.asarray(row_tri_np)
+    tri = jnp.maximum(row_tri, 0)
+    i = mesh.indices[tri]                               # (L*cap, 3)
+    p = jnp.concatenate([mesh.positions[i[:, 0]],
+                         mesh.positions[i[:, 1]],
+                         mesh.positions[i[:, 2]]], axis=1)   # (L*cap, 9)
+    p = jnp.where((row_tri >= 0)[:, None], p, 0.0)
+    rows = jnp.zeros((L * cap, VERT_COLS), jnp.float32)
+    rows = rows.at[:, :9].set(p)
+    return PackedOctree(jnp.asarray(bounds), jnp.asarray(meta),
+                        rows, row_tri, cap)
+
+
+def pack_octree(tree: octmod.Octree, mesh: trimod.MeshData, tri_mask=None):
+    """Pack a device-resident Octree (test convenience; pulls the compact
+    node/leaf tables back to host first — prefer build_octree(pack=True))."""
+    return pack_from_numpy(tree, mesh, tri_mask)
+
+
+def _traverse_kernel(cap, ox, oy, oz, dx, dy, dz, tmax,
+                     bounds, meta, verts,
+                     t_out, row_out, b1_out, b2_out, cnt_out,
+                     stack, pend, vbuf, sem):
+    o = (ox[0], oy[0], oz[0])          # (8, 128) each (blocks are (1,8,128))
+    d = (dx[0], dy[0], dz[0])
+    tmax = tmax[0]
+    safe = lambda v: jnp.where(jnp.abs(v) < 1e-20,
+                               jnp.where(v < 0, -1e-20, 1e-20), v)
+    inv = tuple(1.0 / safe(v) for v in d)
+    g3 = 1.0 + 2.0 * _gamma(3)
+
+    # Packet octant = majority direction sign per axis (scalars).
+    half = jnp.float32(TILE_R // 2)
+    octant = ((jnp.sum((d[0] < 0).astype(jnp.float32)) > half).astype(jnp.int32) * 4
+              + (jnp.sum((d[1] < 0).astype(jnp.float32)) > half).astype(jnp.int32) * 2
+              + (jnp.sum((d[2] < 0).astype(jnp.float32)) > half).astype(jnp.int32))
+
+    stack[0] = jnp.int32(0)            # root pre-pushed
+
+    def leaf_dma(i, slot):
+        off = pend[i, 0]
+        return pltpu.make_async_copy(
+            verts.at[pl.ds(off, cap), :], vbuf.at[slot], sem.at[slot])
+
+    def leaf_test(slot, off, carry):
+        t_best, row_b, b1_b, b2_b = carry
+        buf = vbuf[slot]                       # (cap, VERT_COLS)
+        col = lambda j: buf[:, j].reshape(cap, 1, 1)
+        # translate to ray origin; broadcast tris (cap,1,1) x rays (1,8,128)
+        oxe = o[0][None]                        # (1, 8, 128)
+        oye = o[1][None]
+        oze = o[2][None]
+        v0 = (col(0) - oxe, col(1) - oye, col(2) - oze)
+        v1 = (col(3) - oxe, col(4) - oye, col(5) - oze)
+        v2 = (col(6) - oxe, col(7) - oye, col(8) - oze)
+
+        adx, ady, adz = (jnp.abs(d[0]), jnp.abs(d[1]), jnp.abs(d[2]))
+        kz_x = ((adx >= ady) & (adx >= adz))[None]
+        kz_y = ((~kz_x[0]) & (ady >= adz))[None]
+
+        def perm(vx, vy, vz):
+            pz = jnp.where(kz_x, vx, jnp.where(kz_y, vy, vz))
+            px = jnp.where(kz_x, vy, jnp.where(kz_y, vz, vx))
+            py = jnp.where(kz_x, vz, jnp.where(kz_y, vx, vy))
+            return px, py, pz
+
+        dxp, dyp, dzp = perm(d[0][None], d[1][None], d[2][None])
+        axp, ayp, azp = perm(*v0)
+        bxp, byp, bzp = perm(*v1)
+        cxp, cyp, czp = perm(*v2)
+
+        inv_dz = 1.0 / dzp
+        sx = -dxp * inv_dz
+        sy = -dyp * inv_dz
+        ax = axp + sx * azp
+        ay = ayp + sy * azp
+        bx = bxp + sx * bzp
+        by = byp + sy * bzp
+        cx = cxp + sx * czp
+        cy = cyp + sy * czp
+
+        e0 = bx * cy - by * cx
+        e1 = cx * ay - cy * ax
+        e2 = ax * by - ay * bx
+        same_side = ((e0 >= 0) & (e1 >= 0) & (e2 >= 0)) | \
+                    ((e0 <= 0) & (e1 <= 0) & (e2 <= 0))
+        det = e0 + e1 + e2
+        nonzero = det != 0.0
+
+        az_s = inv_dz * azp
+        bz_s = inv_dz * bzp
+        cz_s = inv_dz * czp
+        t_scaled = e0 * az_s + e1 * bz_s + e2 * cz_s
+        ts = jnp.where(det < 0, -t_scaled, t_scaled)
+        dd = jnp.abs(det)
+        in_range = (ts > 0.0) & (ts < t_best[None] * dd)
+
+        inv_det = 1.0 / jnp.where(nonzero, det, 1.0)
+        t = t_scaled * inv_det
+
+        # conservative t bound (Shapes.h:1226-1256 capability)
+        max_z = jnp.maximum(jnp.maximum(jnp.abs(az_s), jnp.abs(bz_s)),
+                            jnp.abs(cz_s))
+        max_x = jnp.maximum(jnp.maximum(jnp.abs(ax), jnp.abs(bx)),
+                            jnp.abs(cx))
+        max_y = jnp.maximum(jnp.maximum(jnp.abs(ay), jnp.abs(by)),
+                            jnp.abs(cy))
+        delta_z = _gamma(3) * max_z
+        delta_x = _gamma(5) * (max_x + max_z)
+        delta_y = _gamma(5) * (max_y + max_z)
+        delta_e = 2.0 * (_gamma(2) * max_x * max_y
+                         + delta_y * max_x + delta_x * max_y)
+        max_e = jnp.maximum(jnp.maximum(jnp.abs(e0), jnp.abs(e1)),
+                            jnp.abs(e2))
+        delta_t = 3.0 * (_gamma(3) * max_e * max_z + delta_e * max_z
+                         + delta_z * max_e) * jnp.abs(inv_det)
+
+        hit = same_side & nonzero & in_range & (t > delta_t)
+        t = jnp.where(hit, t, jnp.inf)          # (cap, 8, 128)
+
+        amin = jnp.argmin(t, axis=0)            # (8, 128)
+        t_min = jnp.min(t, axis=0)
+        sub = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+        at_min = sub == amin[None]
+        b1_min = jnp.sum(jnp.where(at_min, e1 * inv_det, 0.0), axis=0)
+        b2_min = jnp.sum(jnp.where(at_min, e2 * inv_det, 0.0), axis=0)
+        better = t_min < t_best
+        return (jnp.where(better, t_min, t_best),
+                jnp.where(better, off + amin, row_b),
+                jnp.where(better, b1_min, b1_b),
+                jnp.where(better, b2_min, b2_b))
+
+    def outer_body(state):
+        sp, tests, t_best, row_b, b1_b, b2_b = state
+
+        # ---- walk phase: fill the pending-leaf queue
+        def walk_cond(c):
+            sp, npend = c[0], c[1]
+            return (sp > 0) & (npend < PEND_SIZE)
+
+        def walk_body(c):
+            sp, npend, t_best = c
+            sp = sp - 1
+            node = stack[sp]
+            b = bounds[pl.ds(node, 1), :]       # (1, 8)
+            t0x = (b[0, 0] - o[0]) * inv[0]
+            t1x = (b[0, 3] - o[0]) * inv[0]
+            t0y = (b[0, 1] - o[1]) * inv[1]
+            t1y = (b[0, 4] - o[1]) * inv[1]
+            t0z = (b[0, 2] - o[2]) * inv[2]
+            t1z = (b[0, 5] - o[2]) * inv[2]
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                         jnp.minimum(t0y, t1y)),
+                             jnp.minimum(t0z, t1z))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                         jnp.maximum(t0y, t1y)),
+                             jnp.maximum(t0z, t1z)) * g3
+            active = (tn <= tf) & (tf > 0.0) & (tn < t_best)
+            any_hit = jnp.any(active)
+
+            m = meta[pl.ds(node, 1), :]
+            c0 = m[0, 0]
+            is_leaf = c0 < 0
+
+            @pl.when(any_hit & ~is_leaf)
+            def _():
+                # push far-to-near so pops come near-to-far
+                for j in range(8):
+                    stack[sp + j] = c0 + ((7 - j) ^ octant)
+
+            @pl.when(any_hit & is_leaf & (m[0, 2] > 0))
+            def _():
+                pend[npend, 0] = m[0, 1]
+                pend[npend, 1] = m[0, 2]
+
+            sp = jnp.where(any_hit & ~is_leaf, sp + 8, sp)
+            npend = jnp.where(any_hit & is_leaf & (m[0, 2] > 0),
+                              npend + 1, npend)
+            return sp, npend, t_best
+
+        sp, npend, t_best = jax.lax.while_loop(
+            walk_cond, walk_body, (sp, jnp.int32(0), t_best))
+
+        # ---- leaf phase: stream pending leaves, double-buffered DMA
+        @pl.when(npend > 0)
+        def _():
+            leaf_dma(0, 0).start()
+
+        def flush_body(i, carry):
+            slot = jax.lax.rem(i, 2)
+
+            @pl.when(i + 1 < npend)
+            def _():
+                leaf_dma(i + 1, jax.lax.rem(i + 1, 2)).start()
+
+            leaf_dma(i, slot).wait()
+            return leaf_test(slot, pend[i, 0], carry)
+
+        t_best, row_b, b1_b, b2_b = jax.lax.fori_loop(
+            0, npend, flush_body, (t_best, row_b, b1_b, b2_b))
+        tests = tests + npend * jnp.int32(cap)
+        return sp, tests, t_best, row_b, b1_b, b2_b
+
+    def outer_cond(state):
+        return state[0] > 0
+
+    init = (jnp.int32(1), jnp.int32(0), tmax,
+            jnp.full((RAY_SUB, RAY_LANES), -1, jnp.int32),
+            jnp.zeros((RAY_SUB, RAY_LANES), jnp.float32),
+            jnp.zeros((RAY_SUB, RAY_LANES), jnp.float32))
+    sp, tests, t_best, row_b, b1_b, b2_b = jax.lax.while_loop(
+        outer_cond, outer_body, init)
+
+    t_out[:] = t_best
+    row_out[:] = row_b
+    b1_out[:] = b1_b
+    b2_out[:] = b2_b
+    cnt_out[:] = jnp.broadcast_to(tests, (RAY_SUB, RAY_LANES))
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(3, 4))
+def _octree_pallas(rays, node_bounds_meta, verts, cap, interpret):
+    return _octree_pallas_impl(rays, node_bounds_meta, verts, cap, interpret)
+
+
+@_octree_pallas.defjvp
+def _octree_pallas_jvp(cap, interpret, primals, tangents):
+    out = _octree_pallas(*primals, cap, interpret)
+    zeros = tuple(
+        np.zeros(o.shape, jax.dtypes.float0)
+        if jnp.issubdtype(o.dtype, jnp.integer) else jnp.zeros_like(o)
+        for o in out)
+    return out, zeros
+
+
+def _octree_pallas_impl(rays, node_bounds_meta, verts, cap, interpret):
+    bounds, meta = node_bounds_meta
+    grid = (rays.shape[1] // RAY_SUB,)
+
+    ray_spec = pl.BlockSpec((1, RAY_SUB, RAY_LANES), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((RAY_SUB, RAY_LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    n_rows = rays.shape[1]
+    out_shapes = (
+        jax.ShapeDtypeStruct((n_rows, RAY_LANES), jnp.float32),
+        jax.ShapeDtypeStruct((n_rows, RAY_LANES), jnp.int32),
+        jax.ShapeDtypeStruct((n_rows, RAY_LANES), jnp.float32),
+        jax.ShapeDtypeStruct((n_rows, RAY_LANES), jnp.float32),
+        jax.ShapeDtypeStruct((n_rows, RAY_LANES), jnp.int32),
+    )
+
+    kernel = pl.pallas_call(
+        functools.partial(_traverse_kernel, cap),
+        grid=grid,
+        in_specs=[ray_spec] * 7 + [full(), full(),
+                                   pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(out_spec,) * 5,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.SMEM((STACK_SIZE,), jnp.int32),
+            pltpu.SMEM((PEND_SIZE, 2), jnp.int32),
+            pltpu.VMEM((2, cap, VERT_COLS), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )
+    args = [rays[k].reshape(1, n_rows, RAY_LANES) for k in range(7)]
+    return kernel(*args, bounds, meta, verts)
+
+
+def octree_intersect_pallas(o, d, t_max, packed: PackedOctree,
+                            interpret=None):
+    """Drop-in for octree_traverse backed by the packet kernel. Returns
+    (t, tri_idx, b1, b2, tri_tests) with the usual conventions."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    batch_shape = o.shape[:-1]
+    n = int(np.prod(batch_shape)) if batch_shape else 1
+    n_pad = -(-n // TILE_R) * TILE_R
+
+    o2 = o.reshape(-1, 3)
+    d2 = d.reshape(-1, 3)
+    tm = t_max.reshape(-1)
+    rays = jnp.zeros((7, n_pad), jnp.float32)
+    rays = rays.at[:3, :n].set(o2.T)
+    rays = rays.at[3:6, :n].set(d2.T)
+    rays = rays.at[5, n:].set(1.0)
+    rays = rays.at[6, :n].set(tm)
+    rays = rays.at[6, n:].set(-1.0)     # padded rays: dead
+    rays = rays.reshape(7, n_pad // RAY_LANES, RAY_LANES)
+
+    t, row, b1, b2, cnt = _octree_pallas(
+        rays, (packed.node_bounds, packed.node_meta), packed.leaf_verts,
+        packed.cap, interpret)
+
+    flat = lambda x: x.reshape(-1)[:n].reshape(batch_shape)
+    t = flat(t)
+    row = flat(row)
+    b1 = flat(b1)
+    b2 = flat(b2)
+    cnt = flat(cnt)
+    tri = jnp.where(row >= 0, packed.row_tri[jnp.maximum(row, 0)], -1)
+    ok = jnp.isfinite(t) & (tri >= 0)
+    return (jnp.where(ok, t, jnp.inf), jnp.where(ok, tri, -1),
+            b1, b2, cnt)

@@ -124,6 +124,73 @@ def cornell_box(size=2.0, light_frac=0.5):
     return pos, idx, uv, mats, (lc, le1, le2)
 
 
+def icosphere(subdiv=3, radius=1.0, center=(0.0, 0.0, 0.0)):
+    """Subdivided icosahedron projected to a sphere: 20·4^subdiv faces with
+    shared vertices (subdiv=7 -> 327,680 tris — the dragon-class scale of
+    RayTracerTestApp.h:70-106). Vectorized midpoint subdivision."""
+    t = (1.0 + math.sqrt(5.0)) / 2.0
+    verts = np.asarray([
+        (-1, t, 0), (1, t, 0), (-1, -t, 0), (1, -t, 0),
+        (0, -1, t), (0, 1, t), (0, -1, -t), (0, 1, -t),
+        (t, 0, -1), (t, 0, 1), (-t, 0, -1), (-t, 0, 1)], np.float64)
+    verts /= np.linalg.norm(verts, axis=1, keepdims=True)
+    faces = np.asarray([
+        (0, 11, 5), (0, 5, 1), (0, 1, 7), (0, 7, 10), (0, 10, 11),
+        (1, 5, 9), (5, 11, 4), (11, 10, 2), (10, 7, 6), (7, 1, 8),
+        (3, 9, 4), (3, 4, 2), (3, 2, 6), (3, 6, 8), (3, 8, 9),
+        (4, 9, 5), (2, 4, 11), (6, 2, 10), (8, 6, 7), (9, 8, 1)], np.int64)
+
+    for _ in range(subdiv):
+        nv = verts.shape[0]
+        e = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]],
+                            faces[:, [2, 0]]])          # (3F, 2)
+        e_sorted = np.sort(e, axis=1)
+        key = e_sorted[:, 0] * (nv + 1) + e_sorted[:, 1]
+        uniq, inv = np.unique(key, return_inverse=True)
+        mid_pairs = np.stack([uniq // (nv + 1), uniq % (nv + 1)], axis=1)
+        mids = verts[mid_pairs[:, 0]] + verts[mid_pairs[:, 1]]
+        mids /= np.linalg.norm(mids, axis=1, keepdims=True)
+        mid_ids = nv + inv.reshape(3, -1)               # (3, F)
+        a, b, c = faces[:, 0], faces[:, 1], faces[:, 2]
+        ab, bc, ca = mid_ids[0], mid_ids[1], mid_ids[2]
+        faces = np.concatenate([
+            np.stack([a, ab, ca], axis=1),
+            np.stack([b, bc, ab], axis=1),
+            np.stack([c, ca, bc], axis=1),
+            np.stack([ab, bc, ca], axis=1)])
+        verts = np.concatenate([verts, mids])
+
+    verts = np.asarray(center, np.float64) + radius * verts
+    # spherical uvs
+    rel = verts - np.asarray(center, np.float64)
+    u = 0.5 + np.arctan2(rel[:, 1], rel[:, 0]) / (2 * math.pi)
+    v = 0.5 - np.arcsin(np.clip(rel[:, 2] / radius, -1, 1)) / math.pi
+    uvs = np.stack([u, v], axis=1)
+    return (verts.astype(np.float32), faces.astype(np.int32),
+            uvs.astype(np.float32))
+
+
+def displaced_icosphere(subdiv=7, radius=1.0, center=(0.0, 0.0, 0.0),
+                        amplitude=0.15, seed=7):
+    """Dragon-class test mesh: an icosphere with multi-octave sinusoidal
+    radial displacement — high triangle count with the non-uniform spatial
+    density an octree has to cope with (stand-in for the absent
+    stanford-dragon asset, SURVEY §7 hard parts)."""
+    verts, faces, uvs = icosphere(subdiv, 1.0, (0.0, 0.0, 0.0))
+    rng_ = np.random.RandomState(seed)
+    disp = np.zeros(verts.shape[0])
+    for octave in range(4):
+        freq = 2.0 ** octave * 3.0
+        k = rng_.normal(size=(3, 3))
+        phase = rng_.uniform(0, 2 * math.pi, size=3)
+        for j in range(3):
+            disp += (amplitude / (2.0 ** octave)
+                     * np.sin(freq * (verts @ k[j]) + phase[j]))
+    verts = verts * (1.0 + disp[:, None] / 3.0)
+    verts = np.asarray(center, np.float64) + radius * verts
+    return (verts.astype(np.float32), faces.astype(np.int32), uvs)
+
+
 def checker_texture(n=64, c0=(0.9, 0.9, 0.9), c1=(0.15, 0.15, 0.55)):
     """Simple checkerboard RGB image (the uvmap.png stand-in)."""
     img = np.zeros((n, n, 3), np.float32)
