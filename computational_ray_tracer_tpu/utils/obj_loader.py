@@ -105,6 +105,156 @@ def _load_obj_python(path):
     return positions, indices, normals_arr, uvs
 
 
+def load_mtl(path):
+    """Parse a Wavefront .mtl file into {name: material dict} usable by
+    ``MaterialTable.build`` (reference binds Assimp aiMaterial properties in
+    ``RayTracer/AssetManager.cpp:67-103``; this maps the same Blinn-Phong
+    fields onto the spectral material kinds):
+
+    - Kd               -> albedo_rgb
+    - Ke (nonzero)     -> emission_rgb (+ emission_scale 1)
+    - illum 7 / d<1 / Tf -> kind dielectric, Ni -> eta
+    - Ks dominant + Ns -> kind rough_conductor, roughness = sqrt(2/(Ns+2))
+      (Blinn-Phong exponent -> GGX alpha, the standard conversion)
+    - map_Kd           -> texture path stored under 'texture_path' +
+                          use_texture=True (caller decides whether to load)
+    """
+    mats = {}
+    cur = None
+    with open(path) as f:
+        for line in f:
+            t = line.split()
+            if not t or t[0].startswith("#"):
+                continue
+            key = t[0]
+            if key == "newmtl":
+                cur = {"kind": "diffuse", "albedo_rgb": (0.5, 0.5, 0.5)}
+                mats[t[1]] = cur
+            elif cur is None:
+                continue
+            elif key == "Kd":
+                cur["albedo_rgb"] = tuple(float(x) for x in t[1:4])
+            elif key == "Ks":
+                cur["_ks"] = tuple(float(x) for x in t[1:4])
+            elif key == "Ke":
+                ke = tuple(float(x) for x in t[1:4])
+                if max(ke) > 0:
+                    cur["emission_rgb"] = ke
+                    cur["emission_scale"] = 1.0
+            elif key == "Ns":
+                cur["_ns"] = float(t[1])
+            elif key == "Ni":
+                cur["eta"] = float(t[1])
+            elif key == "d":
+                cur["_d"] = float(t[1])
+            elif key == "Tr":
+                cur["_d"] = 1.0 - float(t[1])
+            elif key == "Tf":
+                tf = tuple(float(x) for x in t[1:4])
+                if max(tf) > 0.5:
+                    cur["_transmissive"] = True
+            elif key == "illum":
+                cur["_illum"] = int(t[1])
+            elif key == "map_Kd":
+                cur["texture_path"] = t[-1]
+                cur["use_texture"] = True
+    for m in mats.values():
+        transmissive = (m.pop("_transmissive", False)
+                        or m.pop("_d", 1.0) < 0.999
+                        or m.get("_illum", 2) in (4, 6, 7, 9))
+        ks = m.pop("_ks", (0.0, 0.0, 0.0))
+        ns = m.pop("_ns", 0.0)
+        m.pop("_illum", None)
+        if transmissive:
+            m["kind"] = "dielectric"
+            m.setdefault("eta", 1.5)
+        elif max(ks) > 0.5 and max(m["albedo_rgb"]) < 0.25 and ns > 1.0:
+            m["kind"] = "rough_conductor"
+            m["roughness"] = float(min(1.0, (2.0 / (ns + 2.0)) ** 0.5))
+    return mats
+
+
+def load_obj_scene(path):
+    """Parse an OBJ *with its .mtl bindings* into
+    ``(positions, indices, normals, uvs, tri_mat, materials)`` where
+    ``tri_mat`` is an (F,) int32 material index per triangle and
+    ``materials`` the ordered material-dict list (first-use order; index 0 is
+    a default diffuse when faces precede any usemtl).
+
+    This is the multi-material import path of the reference's
+    ``ASSIMPLoader::Load`` (AssetManager.cpp:67-191), which walks
+    aiMesh::mMaterialIndex per submesh; here the per-face ``usemtl`` runs
+    play that role."""
+    import os as _os
+    vs, vts, vns = [], [], []
+    corners, face_mats = [], []
+    mtl_defs = {}
+    name_to_id = {}
+    materials = []
+
+    def mat_id(name):
+        if name not in name_to_id:
+            name_to_id[name] = len(materials)
+            materials.append(mtl_defs.get(
+                name, {"kind": "diffuse", "albedo_rgb": (0.5, 0.5, 0.5)}))
+        return name_to_id[name]
+
+    cur_mat = None
+    with open(path) as f:
+        for line in f:
+            t = line.split()
+            if not t:
+                continue
+            if t[0] == "v":
+                vs.append([float(x) for x in t[1:4]])
+            elif t[0] == "vt":
+                vts.append([float(t[1]), float(t[2]) if len(t) > 2 else 0.0])
+            elif t[0] == "vn":
+                vns.append([float(x) for x in t[1:4]])
+            elif t[0] == "mtllib":
+                mpath = _os.path.join(_os.path.dirname(_os.path.abspath(path)),
+                                      t[1])
+                if _os.path.exists(mpath):
+                    mtl_defs.update(load_mtl(mpath))
+            elif t[0] == "usemtl":
+                cur_mat = mat_id(t[1])
+            elif t[0] == "f":
+                if cur_mat is None:
+                    cur_mat = mat_id("__default__")
+                face = []
+                for c in t[1:]:
+                    parts = c.split("/")
+                    vi = int(parts[0])
+                    vti = int(parts[1]) if len(parts) > 1 and parts[1] else 0
+                    vni = int(parts[2]) if len(parts) > 2 and parts[2] else 0
+                    face.append((vi, vti, vni))
+                for k in range(1, len(face) - 1):
+                    corners.extend([face[0], face[k], face[k + 1]])
+                    face_mats.append(cur_mat)
+
+    def resolve(idx, n):
+        return idx - 1 if idx > 0 else n + idx
+
+    key_to_new = {}
+    positions, normals, uvs, indices = [], [], [], []
+    for c in corners:
+        if c not in key_to_new:
+            key_to_new[c] = len(positions)
+            vi, vti, vni = c
+            positions.append(vs[resolve(vi, len(vs))])
+            uvs.append(vts[resolve(vti, len(vts))] if vti else [0.0, 0.0])
+            normals.append(vns[resolve(vni, len(vns))] if vni else None)
+        indices.append(key_to_new[c])
+
+    positions = np.asarray(positions, np.float32)
+    indices = np.asarray(indices, np.int32).reshape(-1, 3)
+    uvs = np.asarray(uvs, np.float32)
+    has_normals = all(n is not None for n in normals)
+    normals_arr = (np.asarray(normals, np.float32) if has_normals else None)
+    tri_mat = np.asarray(face_mats, np.int32)
+    return positions, indices, normals_arr, uvs, tri_mat, materials
+
+
 def save_obj(path, positions, indices):
     """Write a minimal OBJ (test fixture round-trips)."""
     with open(path, "w") as f:
@@ -115,7 +265,9 @@ def save_obj(path, positions, indices):
 
 
 class MeshCache:
-    """Named model cache (MeshCache::modelCache, AssetManager.cpp:6)."""
+    """Named model cache (MeshCache::modelCache, AssetManager.cpp:6).
+    Dispatches on file extension: .obj via load_obj, .ply via
+    utils.ply_loader.load_ply."""
     _cache = {}
 
     @classmethod
@@ -123,7 +275,11 @@ class MeshCache:
         from computational_ray_tracer_tpu.ops.triangle import MeshData
         key = (name, id(transform))
         if key not in cls._cache:
-            pos, idx, nrm, uv = load_obj(path)
+            if str(path).lower().endswith(".ply"):
+                from computational_ray_tracer_tpu.utils.ply_loader import load_ply
+                pos, idx, nrm, uv = load_ply(path)
+            else:
+                pos, idx, nrm, uv = load_obj(path)
             cls._cache[key] = MeshData.build(pos, idx, normals=nrm, uvs=uv,
                                              transform=transform)
         return cls._cache[key]
