@@ -385,6 +385,31 @@ def li_random_walk(scene, o, d, wl, pixel, sample_idx, cfg):
 # The per-sample pixel pipeline + progressive render driver
 # ---------------------------------------------------------------------------
 
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _tile_perm(w, h, tile=32):
+    """Pixel order that walks the image in tile×tile screen blocks.
+
+    The Pallas packet traversal shares one stack per 1024-ray packet; in
+    raster order a packet spans two full image rows (the whole horizontal
+    FOV) and the shared walk visits nearly the union of the tree, while a
+    32x32 tile is a tight frustum. Returns (perm, inv): ray i handles pixel
+    perm[i]; per-ray output row inv[p] belongs to pixel p. Sample values are
+    keyed by pixel id so the swizzle changes no rendered value (determinism
+    contract) — only wavefront order."""
+    ids = jnp.arange(w * h, dtype=jnp.uint32).reshape(h, w)
+    blocks = ids.reshape(h // tile, tile, w // tile, tile)
+    perm = blocks.transpose(0, 2, 1, 3).reshape(-1)
+    inv = jnp.zeros((w * h,), jnp.int32).at[perm].set(
+        jnp.arange(w * h, dtype=jnp.int32))
+    return perm, inv
+
+
+def _swizzled_pixels(w, h, tile=32):
+    if w % tile or h % tile or w * h < tile * tile:
+        return jnp.arange(w * h, dtype=jnp.uint32), None
+    return _tile_perm(w, h, tile)
+
+
 def make_filter(cfg: RenderConfig):
     return flt.FILTERS[cfg.filter_name](cfg.filter_radius)
 
@@ -399,7 +424,7 @@ def render_pass(scene, camera, cfg: RenderConfig, filter_obj, sensor,
     weight (H,W)) — ready for Film.add_aligned."""
     w, h = cfg.resolution
     s = cfg.sampler
-    pixel = jnp.arange(w * h, dtype=jnp.uint32)
+    pixel, inv = _swizzled_pixels(w, h)
     px = (pixel % w).astype(jnp.float32)
     py = (pixel // w).astype(jnp.float32)
 
@@ -428,6 +453,9 @@ def render_pass(scene, camera, cfg: RenderConfig, filter_obj, sensor,
         rgb = jnp.clip(rgb, 0.0, cfg.clamp)
     else:
         rgb = jnp.maximum(rgb, 0.0)
+    if inv is not None:
+        rgb = rgb[inv]
+        fw = fw[inv]
     return rgb.reshape(h, w, 3), fw.reshape(h, w)
 
 
@@ -443,7 +471,7 @@ def render_pass_block(scene, camera, cfg: RenderConfig, filter_obj, sensor,
     weighted sum, wt (H,W) weight sum) over the k samples."""
     w, h = cfg.resolution
     s = cfg.sampler
-    pixel1 = jnp.arange(w * h, dtype=jnp.uint32)
+    pixel1, inv = _swizzled_pixels(w, h)
     pixel = jnp.tile(pixel1, (k,)).reshape(k, w * h)
     sample_idx = (jnp.uint32(sample_idx0)
                   + jnp.arange(k, dtype=jnp.uint32)[:, None])
@@ -475,9 +503,12 @@ def render_pass_block(scene, camera, cfg: RenderConfig, filter_obj, sensor,
         rgb = jnp.clip(rgb, 0.0, cfg.clamp)
     else:
         rgb = jnp.maximum(rgb, 0.0)
-    rgb_sum = jnp.sum(rgb * fw[..., None], axis=0).reshape(h, w, 3)
-    wt_sum = jnp.sum(fw, axis=0).reshape(h, w)
-    return rgb_sum, wt_sum
+    rgb_sum = jnp.sum(rgb * fw[..., None], axis=0)
+    wt_sum = jnp.sum(fw, axis=0)
+    if inv is not None:
+        rgb_sum = rgb_sum[inv]
+        wt_sum = wt_sum[inv]
+    return rgb_sum.reshape(h, w, 3), wt_sum.reshape(h, w)
 
 
 def render_passes(scene, camera, cfg: RenderConfig, filter_obj, sensor,

@@ -12,11 +12,13 @@ stalls every ray in flight.
 
 Kernel structure, per grid step (one packet of 8x128 rays in VMEM):
 
-1. **Walk phase** (scalar): pop node ids off the SMEM stack; slab-test the
-   packet against the node bounds (vector (8,128) math against scalar
-   bounds); push the 8 children in *octant order* (near-to-far for the
-   packet's majority direction sign — the front-to-back ordering SURVEY's
-   hard-part #2 calls for) or append leaf references to a pending queue.
+1. **Walk phase** (scalar): pop sibling-GROUP ids off the SMEM stack; one
+   pop loads a single (1, 128) row holding all 8 children of a split and
+   slab-tests each against the packet (vector (8,128) math against scalar
+   bounds); hit interiors push their child group in *octant order*
+   (near-to-far for the packet's majority direction sign — the
+   front-to-back ordering SURVEY's hard-part #2 calls for), hit leaves
+   append to a pending queue.
 2. **Leaf phase** (vector): stream the pending leaves' pre-gathered vertex
    rows from HBM with double-buffered async DMA; each leaf is one
    (CAP, 8, 128) watertight test (triangles on the leading axis, the ray
@@ -67,20 +69,29 @@ def _gamma(n):
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class PackedOctree:
-    """Kernel-ready flat octree + pre-gathered leaf vertices."""
-    node_bounds: jnp.ndarray    # (M, 8) f32: lo xyz, hi xyz, pad
-    node_meta: jnp.ndarray      # (M, 4) i32: child0, leaf_row_off, count, pad
+    """Kernel-ready flat octree + pre-gathered leaf vertices.
+
+    Node storage is *sibling-group packed*: one (G, 128) f32 row holds all 8
+    children of one interior node, NODE_LANES lanes per child
+    ``[lo.xyz, hi.xyz, child_group, leaf_row_off, count, pad...]`` with the
+    int fields stored as exact small floats (< 2^24, asserted at pack time).
+    A naive (M, 8) layout lane-pads 8 -> 128 in VMEM (64 B/node/array); the
+    group row is one full lane tile, so the whole tree costs 64 B/node total
+    and a ~300k-node dragon-class tree fits VMEM (~18 MB)."""
+    nodes: jnp.ndarray          # (G, 128) f32 sibling-group rows
     leaf_verts: jnp.ndarray     # (L*CAP, VERT_COLS) f32
     row_tri: jnp.ndarray        # (L*CAP,) i32 tri id per row (-1 pad)
     cap: int                    # rows per leaf (static)
 
     def tree_flatten(self):
-        return (self.node_bounds, self.node_meta, self.leaf_verts,
-                self.row_tri), self.cap
+        return (self.nodes, self.leaf_verts, self.row_tri), self.cap
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children, cap=aux)
+
+
+NODE_LANES = 16     # lanes per child slot in a sibling-group row
 
 
 def pack_from_numpy(tree_np, mesh: trimod.MeshData, tri_mask=None):
@@ -102,16 +113,32 @@ def pack_from_numpy(tree_np, mesh: trimod.MeshData, tri_mask=None):
     L, cap0 = leaf_tris.shape
     cap = max(int(np.ceil(cap0 / 8)) * 8, 8)      # sublane-aligned
 
+    # Sibling-group packing. The builders allocate all 8 children of a node
+    # contiguously starting at id 1 (root = 0), so shifting every id by +7
+    # puts the root in slot 7 of group 0 and makes every child0 a multiple
+    # of 8: the 8 siblings of one split are exactly one group row.
     M = node_lo.shape[0]
-    bounds = np.zeros((M, 8), np.float32)
-    bounds[:, 0:3] = node_lo
-    bounds[:, 3:6] = node_hi
-    meta = np.zeros((M, 4), np.int32)
-    meta[:, 0] = child0
+    assert M + 7 < (1 << 24) and L * cap < (1 << 24), (
+        "node/leaf-row ids must stay exactly representable as f32")
+    interior = child0 >= 0
+    if interior.any():
+        assert ((child0[interior] % 8) == 1).all(), (
+            "octree builder no longer allocates 8-contiguous children")
+    G = (M + 7 + 7) // 8
     is_leaf = child0 < 0
     lid = np.maximum(leaf_id, 0)
-    meta[:, 1] = np.where(is_leaf, lid * cap, 0)
-    meta[:, 2] = np.where(is_leaf, counts[lid], 0)
+    vals = np.zeros((M, NODE_LANES), np.float32)
+    vals[:, 0:3] = node_lo
+    vals[:, 3:6] = node_hi
+    vals[:, 6] = np.where(is_leaf, -1, (child0 + 7) // 8)  # child group id
+    vals[:, 7] = np.where(is_leaf, lid * cap, 0)           # leaf row offset
+    vals[:, 8] = np.where(is_leaf, counts[lid], 0)         # triangle count
+    nodes = np.zeros((G * 8, NODE_LANES), np.float32)
+    nodes[:, 0:3] = 1e30        # empty slots: inverted bounds never hit
+    nodes[:, 3:6] = -1e30
+    nodes[:, 6] = -1
+    nodes[7:7 + M] = vals
+    nodes = nodes.reshape(G, 8 * NODE_LANES)
 
     flat = np.full((L, cap), -1, np.int32)
     flat[:, :cap0] = leaf_tris
@@ -130,8 +157,7 @@ def pack_from_numpy(tree_np, mesh: trimod.MeshData, tri_mask=None):
     p = jnp.where((row_tri >= 0)[:, None], p, 0.0)
     rows = jnp.zeros((L * cap, VERT_COLS), jnp.float32)
     rows = rows.at[:, :9].set(p)
-    return PackedOctree(jnp.asarray(bounds), jnp.asarray(meta),
-                        rows, row_tri, cap)
+    return PackedOctree(jnp.asarray(nodes), rows, row_tri, cap)
 
 
 def pack_octree(tree: octmod.Octree, mesh: trimod.MeshData, tri_mask=None):
@@ -141,7 +167,7 @@ def pack_octree(tree: octmod.Octree, mesh: trimod.MeshData, tri_mask=None):
 
 
 def _traverse_kernel(cap, ox, oy, oz, dx, dy, dz, tmax,
-                     bounds, meta, verts,
+                     nodes, verts,
                      t_out, row_out, b1_out, b2_out, cnt_out,
                      stack, pend, vbuf, sem):
     o = (ox[0], oy[0], oz[0])          # (8, 128) each (blocks are (1,8,128))
@@ -256,49 +282,67 @@ def _traverse_kernel(cap, ox, oy, oz, dx, dy, dz, tmax,
     def outer_body(state):
         sp, tests, t_best, row_b, b1_b, b2_b = state
 
-        # ---- walk phase: fill the pending-leaf queue
+        # ---- walk phase: fill the pending-leaf queue.
+        # Stack entries are sibling-GROUP ids (-1 = skip sentinel): one pop
+        # slab-tests all 8 children of a split against the packet, pushes the
+        # child groups of hit interiors (positioned so pops come near-to-far
+        # by octant), and queues hit leaves.
         def walk_cond(c):
             sp, npend = c[0], c[1]
-            return (sp > 0) & (npend < PEND_SIZE)
+            return (sp > 0) & (npend <= PEND_SIZE - 8)
 
         def walk_body(c):
             sp, npend, t_best = c
             sp = sp - 1
-            node = stack[sp]
-            b = bounds[pl.ds(node, 1), :]       # (1, 8)
-            t0x = (b[0, 0] - o[0]) * inv[0]
-            t1x = (b[0, 3] - o[0]) * inv[0]
-            t0y = (b[0, 1] - o[1]) * inv[1]
-            t1y = (b[0, 4] - o[1]) * inv[1]
-            t0z = (b[0, 2] - o[2]) * inv[2]
-            t1z = (b[0, 5] - o[2]) * inv[2]
-            tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                         jnp.minimum(t0y, t1y)),
-                             jnp.minimum(t0z, t1z))
-            tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                         jnp.maximum(t0y, t1y)),
-                             jnp.maximum(t0z, t1z)) * g3
-            active = (tn <= tf) & (tf > 0.0) & (tn < t_best)
-            any_hit = jnp.any(active)
+            gid = stack[sp]
+            valid = gid >= 0
+            row = nodes[pl.ds(jnp.maximum(gid, 0), 1), :]   # (1, 8*NODE_LANES)
 
-            m = meta[pl.ds(node, 1), :]
-            c0 = m[0, 0]
-            is_leaf = c0 < 0
-
-            @pl.when(any_hit & ~is_leaf)
+            @pl.when(valid)
             def _():
-                # push far-to-near so pops come near-to-far
+                # clear the prospective push block (stale slots would be
+                # re-visited as live group ids)
                 for j in range(8):
-                    stack[sp + j] = c0 + ((7 - j) ^ octant)
+                    stack[sp + j] = jnp.int32(-1)
 
-            @pl.when(any_hit & is_leaf & (m[0, 2] > 0))
-            def _():
-                pend[npend, 0] = m[0, 1]
-                pend[npend, 1] = m[0, 2]
+            pushed = jnp.bool_(False)
+            for j in range(8):
+                base = j * NODE_LANES
+                t0x = (row[0, base + 0] - o[0]) * inv[0]
+                t0y = (row[0, base + 1] - o[1]) * inv[1]
+                t0z = (row[0, base + 2] - o[2]) * inv[2]
+                t1x = (row[0, base + 3] - o[0]) * inv[0]
+                t1y = (row[0, base + 4] - o[1]) * inv[1]
+                t1z = (row[0, base + 5] - o[2]) * inv[2]
+                tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                             jnp.minimum(t0y, t1y)),
+                                 jnp.minimum(t0z, t1z))
+                tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                             jnp.maximum(t0y, t1y)),
+                                 jnp.maximum(t0z, t1z)) * g3
+                active = (tn <= tf) & (tf > 0.0) & (tn < t_best)
+                any_hit = jnp.any(active) & valid
 
-            sp = jnp.where(any_hit & ~is_leaf, sp + 8, sp)
-            npend = jnp.where(any_hit & is_leaf & (m[0, 2] > 0),
-                              npend + 1, npend)
+                child_g = row[0, base + 6].astype(jnp.int32)
+                cnt = row[0, base + 8].astype(jnp.int32)
+                is_leaf = child_g < 0
+                push_j = any_hit & ~is_leaf
+                leaf_j = any_hit & is_leaf & (cnt > 0)
+
+                @pl.when(push_j)
+                def _():
+                    # position so the nearest child (j == octant) pops first
+                    stack[sp + 7 - (j ^ octant)] = child_g
+
+                @pl.when(leaf_j)
+                def _():
+                    pend[npend, 0] = row[0, base + 7].astype(jnp.int32)
+                    pend[npend, 1] = cnt
+
+                pushed = pushed | push_j
+                npend = npend + leaf_j.astype(jnp.int32)
+
+            sp = jnp.where(pushed, sp + 8, sp)
             return sp, npend, t_best
 
         sp, npend, t_best = jax.lax.while_loop(
@@ -342,8 +386,8 @@ def _traverse_kernel(cap, ox, oy, oz, dx, dy, dz, tmax,
 
 
 @functools.partial(jax.custom_jvp, nondiff_argnums=(3, 4))
-def _octree_pallas(rays, node_bounds_meta, verts, cap, interpret):
-    return _octree_pallas_impl(rays, node_bounds_meta, verts, cap, interpret)
+def _octree_pallas(rays, nodes, verts, cap, interpret):
+    return _octree_pallas_impl(rays, nodes, verts, cap, interpret)
 
 
 @_octree_pallas.defjvp
@@ -356,8 +400,7 @@ def _octree_pallas_jvp(cap, interpret, primals, tangents):
     return out, zeros
 
 
-def _octree_pallas_impl(rays, node_bounds_meta, verts, cap, interpret):
-    bounds, meta = node_bounds_meta
+def _octree_pallas_impl(rays, nodes, verts, cap, interpret):
     grid = (rays.shape[1] // RAY_SUB,)
 
     ray_spec = pl.BlockSpec((1, RAY_SUB, RAY_LANES), lambda i: (0, i, 0),
@@ -374,10 +417,16 @@ def _octree_pallas_impl(rays, node_bounds_meta, verts, cap, interpret):
         jax.ShapeDtypeStruct((n_rows, RAY_LANES), jnp.int32),
     )
 
+    # Scoped-VMEM budget: the resident node table + leaf double-buffer +
+    # ray/out tiles + Mosaic temporaries. The default 16 MB scoped limit
+    # rejects dragon-class trees; size the limit to the actual buffers.
+    nodes_bytes = int(np.prod(nodes.shape)) * 4
+    vmem_limit = min(nodes_bytes + 32 * 1024 * 1024, 120 * 1024 * 1024)
+
     kernel = pl.pallas_call(
         functools.partial(_traverse_kernel, cap),
         grid=grid,
-        in_specs=[ray_spec] * 7 + [full(), full(),
+        in_specs=[ray_spec] * 7 + [full(),
                                    pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(out_spec,) * 5,
         out_shape=out_shapes,
@@ -388,11 +437,12 @@ def _octree_pallas_impl(rays, node_bounds_meta, verts, cap, interpret):
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=vmem_limit),
         interpret=interpret,
     )
     args = [rays[k].reshape(1, n_rows, RAY_LANES) for k in range(7)]
-    return kernel(*args, bounds, meta, verts)
+    return kernel(*args, nodes, verts)
 
 
 def octree_intersect_pallas(o, d, t_max, packed: PackedOctree,
@@ -417,8 +467,7 @@ def octree_intersect_pallas(o, d, t_max, packed: PackedOctree,
     rays = rays.reshape(7, n_pad // RAY_LANES, RAY_LANES)
 
     t, row, b1, b2, cnt = _octree_pallas(
-        rays, (packed.node_bounds, packed.node_meta), packed.leaf_verts,
-        packed.cap, interpret)
+        rays, packed.nodes, packed.leaf_verts, packed.cap, interpret)
 
     flat = lambda x: x.reshape(-1)[:n].reshape(batch_shape)
     t = flat(t)
