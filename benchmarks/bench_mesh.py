@@ -35,6 +35,11 @@ def main():
     ap.add_argument("--chunk", type=int, default=2048,
                     help="triangle chunk for brute mode")
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--swizzle", type=int, default=1,
+                    help="order rays in 32x32 screen tiles (the render-path "
+                         "packet layout) instead of raster rows")
+    ap.add_argument("--anyhit", action="store_true",
+                    help="any-hit (shadow) semantics for pallas_octree")
     args = ap.parse_args()
 
     import jax
@@ -50,7 +55,11 @@ def main():
 
     camera = cam.PerspectiveCamera.create((0, 0.4, -3.2), (args.res, args.res),
                                           fov_y=40.0, look_at=(0, 0, 0))
-    px = jnp.arange(args.res * args.res, dtype=jnp.uint32)
+    if args.swizzle and args.res % 32 == 0:
+        from computational_ray_tracer_tpu.models.integrator import _tile_perm
+        px = _tile_perm(args.res, args.res)[0]
+    else:
+        px = jnp.arange(args.res * args.res, dtype=jnp.uint32)
     pixel_pos = jnp.stack([(px % args.res).astype(jnp.float32) + 0.5,
                            (px // args.res).astype(jnp.float32) + 0.5],
                           axis=-1)
@@ -77,7 +86,7 @@ def main():
     elif args.mode == "pallas_octree":
         from computational_ray_tracer_tpu.ops import pallas_octree
         fn = jax.jit(lambda o, d, t: pallas_octree.octree_intersect_pallas(
-            o, d, t, packed)[:2])
+            o, d, t, packed, anyhit=args.anyhit)[:2])
     elif args.mode == "pallas_brute":
         from computational_ray_tracer_tpu.ops import pallas_intersect
         fn = jax.jit(lambda o, d, t: pallas_intersect.mesh_intersect_pallas(
@@ -98,6 +107,12 @@ def main():
     dt = (time.perf_counter() - t0) / args.reps
 
     hits = int(jnp.sum(ti >= 0))
+    tests_per_ray = None
+    if args.mode == "pallas_octree":
+        from computational_ray_tracer_tpu.ops import pallas_octree
+        cnt = jax.jit(lambda o, d, t: pallas_octree.octree_intersect_pallas(
+            o, d, t, packed, anyhit=args.anyhit)[4])(o, d, t_max)
+        tests_per_ray = round(float(jnp.mean(cnt.astype(jnp.float32))), 1)
     out = {
         "metric": f"mesh_intersect_{args.mode}",
         "n_tris": n_tris,
@@ -108,6 +123,11 @@ def main():
         "hit_frac": round(hits / n_rays, 4),
         "device": str(jax.devices()[0]),
     }
+    if tests_per_ray is not None:
+        out["tri_tests_per_ray"] = tests_per_ray
+        out["pend_size"] = int(os.environ.get("CRT_PEND_SIZE", "16"))
+        out["anyhit"] = bool(args.anyhit)
+        out["swizzle"] = bool(args.swizzle)
     if tree is not None:
         out["octree"] = {k: round(vv, 2) if isinstance(vv, float) else vv
                          for k, vv in info.items()}

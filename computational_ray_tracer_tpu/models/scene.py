@@ -170,6 +170,16 @@ def scene_intersect(scene: Scene, o, d, t_max):
 
     Returns (si: SurfaceInfo, mat_id (,...) int32, tri_tests (...,) int32).
     """
+    hit = scene_intersect_t(scene, o, d, t_max)
+    si, mat_id = scene_surface(scene, o, d, hit)
+    return si, mat_id, hit[5]
+
+
+def scene_intersect_t(scene: Scene, o, d, t_max):
+    """Hit-distance phase only: (t_best, type_best, idx_best, b1, b2,
+    tri_tests). Lets the integrator batch continuation + shadow rays into
+    ONE intersection launch and evaluate surface info only for the
+    continuation half (shadow rays need just ``type_best != TYPE_NONE``)."""
     t_best = t_max
     type_best = jnp.zeros(o.shape[:-1], jnp.int32)
     idx_best = jnp.zeros(o.shape[:-1], jnp.int32)
@@ -208,6 +218,13 @@ def scene_intersect(scene: Scene, o, d, t_max):
         b1 = jnp.where(better, mb1, b1)
         b2 = jnp.where(better, mb2, b2)
 
+    return t_best, type_best, idx_best, b1, b2, tri_tests
+
+
+def scene_surface(scene: Scene, o, d, hit):
+    """Surface-info phase: evaluate SurfaceInfo + material id for the
+    winners of ``scene_intersect_t``."""
+    t_best, type_best, idx_best, b1, b2, _ = hit
     valid = jnp.isfinite(t_best) & (type_best != TYPE_NONE)
     t_hit = jnp.where(valid, t_best, jnp.inf)
 
@@ -255,7 +272,7 @@ def scene_intersect(scene: Scene, o, d, t_max):
     si = shp.SurfaceInfo(t=t_hit, valid=valid, p=si.p, n=si.n, uv=si.uv,
                          dpdu=si.dpdu, dpdv=si.dpdv, wo=si.wo,
                          backface=si.backface)
-    return si, mat_id, tri_tests
+    return si, mat_id
 
 
 def _empty_surface(o, d, t):
@@ -291,8 +308,9 @@ def scene_anyhit(scene: Scene, o, d, t_max):
                 o, d, t_m, scene.octree, scene.mesh, scene.tri_mask)
             hit = hit | (jnp.isfinite(tm) & (ti >= 0))
         elif scene.octree is not None:
-            tm, ti, *_ = _mesh_closest_hit(scene, o, d, t_m)
-            hit = hit | (jnp.isfinite(tm) & (ti >= 0))
+            from computational_ray_tracer_tpu.ops import pallas_octree
+            hit = hit | pallas_octree.octree_anyhit_pallas(
+                o, d, t_m, scene.packed_octree)
         elif scene.use_pallas:
             from computational_ray_tracer_tpu.ops import pallas_intersect
             tm, ti, *_ = pallas_intersect.mesh_intersect_pallas(

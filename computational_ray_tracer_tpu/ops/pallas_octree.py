@@ -49,11 +49,16 @@ from computational_ray_tracer_tpu.ops.shapes import MACHINE_EPS
 from computational_ray_tracer_tpu.ops import octree as octmod
 from computational_ray_tracer_tpu.ops import triangle as trimod
 
+import os
+
 RAY_SUB = 8            # sublanes of the ray tile
 RAY_LANES = 128        # lanes of the ray tile
 TILE_R = RAY_SUB * RAY_LANES
 STACK_SIZE = 256       # 8 * depth + slack (depth <= ~24 incl. chain splits)
-PEND_SIZE = 64         # leaf flushes between walk phases
+# Leaf flushes between walk phases. Small: t_best tightens after only a few
+# (front-to-back ordered) leaves, pruning far subtrees the walk would
+# otherwise visit. Env override for sweeps.
+PEND_SIZE = int(os.environ.get("CRT_PEND_SIZE", "16"))
 # Leaf row width. Mosaic tiles HBM arrays to 128 lanes and requires DMA
 # slices lane-aligned to 128, so rows are padded to one full lane tile
 # (9 vertex floats + pad). Capacity cost only — DMA bandwidth per leaf is
@@ -166,7 +171,7 @@ def pack_octree(tree: octmod.Octree, mesh: trimod.MeshData, tri_mask=None):
     return pack_from_numpy(tree, mesh, tri_mask)
 
 
-def _traverse_kernel(cap, ox, oy, oz, dx, dy, dz, tmax,
+def _traverse_kernel(cap, anyhit, pend_size, ox, oy, oz, dx, dy, dz, tmax,
                      nodes, verts,
                      t_out, row_out, b1_out, b2_out, cnt_out,
                      stack, pend, vbuf, sem):
@@ -289,7 +294,7 @@ def _traverse_kernel(cap, ox, oy, oz, dx, dy, dz, tmax,
         # by octant), and queues hit leaves.
         def walk_cond(c):
             sp, npend = c[0], c[1]
-            return (sp > 0) & (npend <= PEND_SIZE - 8)
+            return (sp > 0) & (npend <= pend_size - 8)
 
         def walk_body(c):
             sp, npend, t_best = c
@@ -366,6 +371,12 @@ def _traverse_kernel(cap, ox, oy, oz, dx, dy, dz, tmax,
         t_best, row_b, b1_b, b2_b = jax.lax.fori_loop(
             0, npend, flush_body, (t_best, row_b, b1_b, b2_b))
         tests = tests + npend * jnp.int32(cap)
+        if anyhit:
+            # Shadow-ray semantics: a found ray needs no more work. -inf
+            # fails every node test (tn < t_best) including origin-inside
+            # nodes (tn < 0); when the whole packet is done, drain the stack.
+            t_best = jnp.where(row_b >= 0, -jnp.inf, t_best)
+            sp = jnp.where(jnp.all(row_b >= 0), jnp.int32(0), sp)
         return sp, tests, t_best, row_b, b1_b, b2_b
 
     def outer_cond(state):
@@ -385,14 +396,16 @@ def _traverse_kernel(cap, ox, oy, oz, dx, dy, dz, tmax,
     cnt_out[:] = jnp.broadcast_to(tests, (RAY_SUB, RAY_LANES))
 
 
-@functools.partial(jax.custom_jvp, nondiff_argnums=(3, 4))
-def _octree_pallas(rays, nodes, verts, cap, interpret):
-    return _octree_pallas_impl(rays, nodes, verts, cap, interpret)
+@functools.partial(jax.custom_jvp, nondiff_argnums=(3, 4, 5, 6))
+def _octree_pallas(rays, nodes, verts, cap, interpret, anyhit=False,
+                   pend_size=PEND_SIZE):
+    return _octree_pallas_impl(rays, nodes, verts, cap, interpret, anyhit,
+                               pend_size)
 
 
 @_octree_pallas.defjvp
-def _octree_pallas_jvp(cap, interpret, primals, tangents):
-    out = _octree_pallas(*primals, cap, interpret)
+def _octree_pallas_jvp(cap, interpret, anyhit, pend_size, primals, tangents):
+    out = _octree_pallas(*primals, cap, interpret, anyhit, pend_size)
     zeros = tuple(
         np.zeros(o.shape, jax.dtypes.float0)
         if jnp.issubdtype(o.dtype, jnp.integer) else jnp.zeros_like(o)
@@ -400,7 +413,8 @@ def _octree_pallas_jvp(cap, interpret, primals, tangents):
     return out, zeros
 
 
-def _octree_pallas_impl(rays, nodes, verts, cap, interpret):
+def _octree_pallas_impl(rays, nodes, verts, cap, interpret, anyhit,
+                        pend_size):
     grid = (rays.shape[1] // RAY_SUB,)
 
     ray_spec = pl.BlockSpec((1, RAY_SUB, RAY_LANES), lambda i: (0, i, 0),
@@ -424,7 +438,7 @@ def _octree_pallas_impl(rays, nodes, verts, cap, interpret):
     vmem_limit = min(nodes_bytes + 32 * 1024 * 1024, 120 * 1024 * 1024)
 
     kernel = pl.pallas_call(
-        functools.partial(_traverse_kernel, cap),
+        functools.partial(_traverse_kernel, cap, anyhit, pend_size),
         grid=grid,
         in_specs=[ray_spec] * 7 + [full(),
                                    pl.BlockSpec(memory_space=pl.ANY)],
@@ -432,7 +446,7 @@ def _octree_pallas_impl(rays, nodes, verts, cap, interpret):
         out_shape=out_shapes,
         scratch_shapes=[
             pltpu.SMEM((STACK_SIZE,), jnp.int32),
-            pltpu.SMEM((PEND_SIZE, 2), jnp.int32),
+            pltpu.SMEM((pend_size, 2), jnp.int32),
             pltpu.VMEM((2, cap, VERT_COLS), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -445,12 +459,25 @@ def _octree_pallas_impl(rays, nodes, verts, cap, interpret):
     return kernel(*args, nodes, verts)
 
 
+def octree_anyhit_pallas(o, d, t_max, packed: PackedOctree, interpret=None):
+    """Shadow-ray any-hit: True where ANY triangle lies in (0, t_max).
+    Early-exits per ray (first hit poisons its t_best) and drains the stack
+    once the whole packet is done — the IntersectP fast path."""
+    t, tri, *_ = octree_intersect_pallas(o, d, t_max, packed,
+                                         interpret=interpret, anyhit=True)
+    return tri >= 0
+
+
 def octree_intersect_pallas(o, d, t_max, packed: PackedOctree,
-                            interpret=None):
+                            interpret=None, anyhit=False,
+                            pend_size=None):
     """Drop-in for octree_traverse backed by the packet kernel. Returns
-    (t, tri_idx, b1, b2, tri_tests) with the usual conventions."""
+    (t, tri_idx, b1, b2, tri_tests) with the usual conventions (with
+    anyhit=True, only ``tri_idx >= 0`` is meaningful)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if pend_size is None:
+        pend_size = PEND_SIZE
     batch_shape = o.shape[:-1]
     n = int(np.prod(batch_shape)) if batch_shape else 1
     n_pad = -(-n // TILE_R) * TILE_R
@@ -467,7 +494,8 @@ def octree_intersect_pallas(o, d, t_max, packed: PackedOctree,
     rays = rays.reshape(7, n_pad // RAY_LANES, RAY_LANES)
 
     t, row, b1, b2, cnt = _octree_pallas(
-        rays, packed.nodes, packed.leaf_verts, packed.cap, interpret)
+        rays, packed.nodes, packed.leaf_verts, packed.cap, interpret,
+        anyhit, pend_size)
 
     flat = lambda x: x.reshape(-1)[:n].reshape(batch_shape)
     t = flat(t)
@@ -476,6 +504,7 @@ def octree_intersect_pallas(o, d, t_max, packed: PackedOctree,
     b2 = flat(b2)
     cnt = flat(cnt)
     tri = jnp.where(row >= 0, packed.row_tri[jnp.maximum(row, 0)], -1)
-    ok = jnp.isfinite(t) & (tri >= 0)
+    # anyhit poisons t to -inf on found rays; only the tri>=0 bit matters
+    ok = (tri >= 0) if anyhit else (jnp.isfinite(t) & (tri >= 0))
     return (jnp.where(ok, t, jnp.inf), jnp.where(ok, tri, -1),
             b1, b2, cnt)

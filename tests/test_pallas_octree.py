@@ -72,6 +72,25 @@ def test_packet_respects_tmax_and_mask():
                                   np.isfinite(np.asarray(t_j)))
 
 
+@pytest.mark.parametrize("subdiv", [2, 3])
+def test_anyhit_matches_closest_hit_occlusion(subdiv):
+    """Shadow-ray any-hit (early-exit, stack drain) agrees with the
+    closest-hit occlusion predicate for finite and infinite t_max."""
+    v, f, uv = mesh_gen.displaced_icosphere(subdiv)
+    mesh = trimod.MeshData.build(v, f, uvs=uv)
+    tree = octmod.build_octree(mesh)
+    packed = poct.pack_octree(tree, mesh)
+    o, d = _camera_rays(40)
+
+    for tmax in (jnp.full((o.shape[0],), jnp.inf),
+                 jnp.full((o.shape[0],), 2.5),
+                 jnp.full((o.shape[0],), 0.5)):
+        occ = poct.octree_anyhit_pallas(o, d, tmax, packed, interpret=True)
+        t_j, ti_j, *_ = octmod.octree_traverse(o, d, tmax, tree, mesh)
+        occ_j = np.isfinite(np.asarray(t_j)) & (np.asarray(ti_j) >= 0)
+        np.testing.assert_array_equal(np.asarray(occ), occ_j)
+
+
 def test_scene_uses_packet_kernel_when_forced():
     # use_pallas=True forces the packet path off-TPU (interpret mode):
     # the full scene_intersect must agree with the jnp octree scene.
