@@ -20,15 +20,17 @@ Kernel structure, per grid step (one packet of 8x128 rays in VMEM):
    front-to-back ordering SURVEY's hard-part #2 calls for), hit leaves
    append to a pending queue.
 2. **Leaf phase** (vector): stream the pending leaves' pre-gathered vertex
-   rows from HBM with double-buffered async DMA; each leaf is one
-   (CAP, 8, 128) watertight test (triangles on the leading axis, the ray
-   tile on the trailing two) folded into the running closest hit.
+   rows from HBM with double-buffered async DMA in CHUNK-row (8-triangle)
+   entries — only ceil(count/8) chunks per leaf, so sparse leaves never pay
+   for their padding rows; each chunk is one (8, 8, 128) watertight test
+   (triangles on the leading axis, the ray tile on the trailing two) folded
+   into the running closest hit.
 
 Phases alternate so t_best tightens between flushes and prunes later nodes.
 
-The leaf vertex table is *pre-gathered* at pack time (every leaf owns CAP
-contiguous rows of [p0 p1 p2] + padding): leaf fetches become contiguous
-DMA, never gathers. Hit outputs are (t, leaf-row, b1, b2); the row -> tri-id
+The leaf vertex table is *pre-gathered* at pack time (every leaf owns
+ceil(count/8)*8 contiguous compact rows of [p0 p1 p2] + padding): leaf
+fetches become contiguous DMA, never gathers. Hit outputs are (t, leaf-row, b1, b2); the row -> tri-id
 mapping is one XLA gather outside the kernel. Like the brute kernel,
 intersection ids are sampling decisions: wrapped in custom_jvp with zero
 tangents (the jnp traversal stays the differentiable/CPU oracle).
@@ -55,10 +57,11 @@ RAY_SUB = 8            # sublanes of the ray tile
 RAY_LANES = 128        # lanes of the ray tile
 TILE_R = RAY_SUB * RAY_LANES
 STACK_SIZE = 256       # 8 * depth + slack (depth <= ~24 incl. chain splits)
-# Leaf flushes between walk phases. Small: t_best tightens after only a few
-# (front-to-back ordered) leaves, pruning far subtrees the walk would
-# otherwise visit. Env override for sweeps.
-PEND_SIZE = int(os.environ.get("CRT_PEND_SIZE", "16"))
+CHUNK = 8              # leaf rows per pending entry (sublane tile)
+# Pending-CHUNK queue length between walk phases. Small: t_best tightens
+# after only a few (front-to-back ordered) chunks, pruning far subtrees the
+# walk would otherwise visit. Env override for sweeps.
+PEND_SIZE = int(os.environ.get("CRT_PEND_SIZE", "64"))
 # Leaf row width. Mosaic tiles HBM arrays to 128 lanes and requires DMA
 # slices lane-aligned to 128, so rows are padded to one full lane tile
 # (9 vertex floats + pad). Capacity cost only — DMA bandwidth per leaf is
@@ -84,9 +87,9 @@ class PackedOctree:
     group row is one full lane tile, so the whole tree costs 64 B/node total
     and a ~300k-node dragon-class tree fits VMEM (~18 MB)."""
     nodes: jnp.ndarray          # (G, 128) f32 sibling-group rows
-    leaf_verts: jnp.ndarray     # (L*CAP, VERT_COLS) f32
-    row_tri: jnp.ndarray        # (L*CAP,) i32 tri id per row (-1 pad)
-    cap: int                    # rows per leaf (static)
+    leaf_verts: jnp.ndarray     # (rows, VERT_COLS) f32, chunk-aligned compact
+    row_tri: jnp.ndarray        # (rows,) i32 tri id per row (-1 pad)
+    cap: int                    # max triangles per leaf (static)
 
     def tree_flatten(self):
         return (self.nodes, self.leaf_verts, self.row_tri), self.cap
@@ -116,14 +119,25 @@ def pack_from_numpy(tree_np, mesh: trimod.MeshData, tri_mask=None):
     leaf_tris = np.asarray(tree_np.leaf_tris, np.int32)
     counts = np.asarray(tree_np.leaf_counts, np.int32)
     L, cap0 = leaf_tris.shape
-    cap = max(int(np.ceil(cap0 / 8)) * 8, 8)      # sublane-aligned
+    cap = max(int(np.ceil(cap0 / CHUNK)) * CHUNK, CHUNK)
+
+    # Compact chunk-aligned leaf rows: leaf i owns ceil(count_i/CHUNK)*CHUNK
+    # rows starting at row_off[i] (a chunk-aligned cumsum) — NOT cap rows.
+    # The walk queues only those chunks, so sparse leaves cost neither
+    # HBM capacity nor DMA for their padding (a cap-aligned table at
+    # dragon scale is gigabytes; this is ~occupancy-proportional).
+    leaf_rows = np.maximum(
+        ((counts.astype(np.int64) + CHUNK - 1) // CHUNK) * CHUNK, 0)
+    row_off = np.zeros(L + 1, np.int64)
+    np.cumsum(leaf_rows, out=row_off[1:])
+    total_rows = int(row_off[-1])
 
     # Sibling-group packing. The builders allocate all 8 children of a node
     # contiguously starting at id 1 (root = 0), so shifting every id by +7
     # puts the root in slot 7 of group 0 and makes every child0 a multiple
     # of 8: the 8 siblings of one split are exactly one group row.
     M = node_lo.shape[0]
-    assert M + 7 < (1 << 24) and L * cap < (1 << 24), (
+    assert M + 7 < (1 << 24) and total_rows < (1 << 24), (
         "node/leaf-row ids must stay exactly representable as f32")
     interior = child0 >= 0
     if interior.any():
@@ -136,31 +150,37 @@ def pack_from_numpy(tree_np, mesh: trimod.MeshData, tri_mask=None):
     vals[:, 0:3] = node_lo
     vals[:, 3:6] = node_hi
     vals[:, 6] = np.where(is_leaf, -1, (child0 + 7) // 8)  # child group id
-    vals[:, 7] = np.where(is_leaf, lid * cap, 0)           # leaf row offset
+    vals[:, 7] = np.where(is_leaf, row_off[lid], 0)        # leaf row offset
     vals[:, 8] = np.where(is_leaf, counts[lid], 0)         # triangle count
     nodes = np.zeros((G * 8, NODE_LANES), np.float32)
-    nodes[:, 0:3] = 1e30        # empty slots: inverted bounds never hit
+    # Empty slots are guarded by child_g = -1 AND count = 0 (the walk only
+    # acts on leaf slots with count > 0 / interior slots with child_g >= 0).
+    # NOTE the inverted bounds below do NOT fail the slab test — min/max of
+    # t0/t1 per axis makes an inverted box behave like an infinite one — so
+    # never rely on the bounds alone to gate a slot.
+    nodes[:, 0:3] = 1e30
     nodes[:, 3:6] = -1e30
     nodes[:, 6] = -1
     nodes[7:7 + M] = vals
     nodes = nodes.reshape(G, 8 * NODE_LANES)
 
-    flat = np.full((L, cap), -1, np.int32)
-    flat[:, :cap0] = leaf_tris
-    valid = flat >= 0
+    # Scatter each leaf's triangle ids into its compact row range.
+    row_tri_np = np.full((total_rows,), -1, np.int32)
+    valid = leaf_tris >= 0
     if tri_mask is not None:
-        valid &= np.asarray(tri_mask, bool)[np.maximum(flat, 0)]
-    row_tri_np = np.where(valid, flat, -1).reshape(-1)
+        valid &= np.asarray(tri_mask, bool)[np.maximum(leaf_tris, 0)]
+    li, ci = np.nonzero(valid)
+    row_tri_np[row_off[li] + ci] = leaf_tris[li, ci]
 
     # device-side vertex gather (one upload of ids, no giant host array)
     row_tri = jnp.asarray(row_tri_np)
     tri = jnp.maximum(row_tri, 0)
-    i = mesh.indices[tri]                               # (L*cap, 3)
+    i = mesh.indices[tri]                               # (rows, 3)
     p = jnp.concatenate([mesh.positions[i[:, 0]],
                          mesh.positions[i[:, 1]],
-                         mesh.positions[i[:, 2]]], axis=1)   # (L*cap, 9)
+                         mesh.positions[i[:, 2]]], axis=1)   # (rows, 9)
     p = jnp.where((row_tri >= 0)[:, None], p, 0.0)
-    rows = jnp.zeros((L * cap, VERT_COLS), jnp.float32)
+    rows = jnp.zeros((total_rows, VERT_COLS), jnp.float32)
     rows = rows.at[:, :9].set(p)
     return PackedOctree(jnp.asarray(nodes), rows, row_tri, cap)
 
@@ -171,13 +191,19 @@ def pack_octree(tree: octmod.Octree, mesh: trimod.MeshData, tri_mask=None):
     return pack_from_numpy(tree, mesh, tri_mask)
 
 
-def _traverse_kernel(cap, anyhit, pend_size, ox, oy, oz, dx, dy, dz, tmax,
+def _traverse_kernel(cap, anyhit, pend_size, skip_leaf, ox, oy, oz,
+                     dx, dy, dz, tmax,
                      nodes, verts,
-                     t_out, row_out, b1_out, b2_out, cnt_out,
+                     t_out, row_out, b1_out, b2_out, cnt_out, pop_out,
                      stack, pend, vbuf, sem):
     o = (ox[0], oy[0], oz[0])          # (8, 128) each (blocks are (1,8,128))
     d = (dx[0], dy[0], dz[0])
     tmax = tmax[0]
+    if anyhit:
+        # Pre-dead rays (t_max <= 0, e.g. already-occluded shadow rays) are
+        # born "found-equivalent": -inf fails every node/triangle test and
+        # counts as done for the whole-packet stack drain below.
+        tmax = jnp.where(tmax > 0.0, tmax, -jnp.inf)
     safe = lambda v: jnp.where(jnp.abs(v) < 1e-20,
                                jnp.where(v < 0, -1e-20, 1e-20), v)
     inv = tuple(1.0 / safe(v) for v in d)
@@ -191,41 +217,44 @@ def _traverse_kernel(cap, anyhit, pend_size, ox, oy, oz, dx, dy, dz, tmax,
 
     stack[0] = jnp.int32(0)            # root pre-pushed
 
+    # --- ray-only watertight-test precomputation (hoisted out of the leaf
+    # loop): permutation masks, permuted direction, shear coefficients.
+    adx, ady, adz = (jnp.abs(d[0]), jnp.abs(d[1]), jnp.abs(d[2]))
+    kz_x = ((adx >= ady) & (adx >= adz))[None]
+    kz_y = ((~kz_x[0]) & (ady >= adz))[None]
+
+    def perm(vx, vy, vz):
+        pz = jnp.where(kz_x, vx, jnp.where(kz_y, vy, vz))
+        px = jnp.where(kz_x, vy, jnp.where(kz_y, vz, vx))
+        py = jnp.where(kz_x, vz, jnp.where(kz_y, vx, vy))
+        return px, py, pz
+
+    dxp, dyp, dzp = perm(d[0][None], d[1][None], d[2][None])
+    inv_dz = 1.0 / dzp
+    sx = -dxp * inv_dz
+    sy = -dyp * inv_dz
+    oxe = o[0][None]                        # (1, 8, 128)
+    oye = o[1][None]
+    oze = o[2][None]
+
     def leaf_dma(i, slot):
-        off = pend[i, 0]
+        off = pend[i]
         return pltpu.make_async_copy(
-            verts.at[pl.ds(off, cap), :], vbuf.at[slot], sem.at[slot])
+            verts.at[pl.ds(off, CHUNK), :], vbuf.at[slot], sem.at[slot])
 
     def leaf_test(slot, off, carry):
         t_best, row_b, b1_b, b2_b = carry
-        buf = vbuf[slot]                       # (cap, VERT_COLS)
-        col = lambda j: buf[:, j].reshape(cap, 1, 1)
-        # translate to ray origin; broadcast tris (cap,1,1) x rays (1,8,128)
-        oxe = o[0][None]                        # (1, 8, 128)
-        oye = o[1][None]
-        oze = o[2][None]
+        buf = vbuf[slot]                       # (CHUNK, VERT_COLS)
+        col = lambda j: buf[:, j].reshape(CHUNK, 1, 1)
+        # translate to ray origin; tris (CHUNK,1,1) x rays (1,8,128)
         v0 = (col(0) - oxe, col(1) - oye, col(2) - oze)
         v1 = (col(3) - oxe, col(4) - oye, col(5) - oze)
         v2 = (col(6) - oxe, col(7) - oye, col(8) - oze)
 
-        adx, ady, adz = (jnp.abs(d[0]), jnp.abs(d[1]), jnp.abs(d[2]))
-        kz_x = ((adx >= ady) & (adx >= adz))[None]
-        kz_y = ((~kz_x[0]) & (ady >= adz))[None]
-
-        def perm(vx, vy, vz):
-            pz = jnp.where(kz_x, vx, jnp.where(kz_y, vy, vz))
-            px = jnp.where(kz_x, vy, jnp.where(kz_y, vz, vx))
-            py = jnp.where(kz_x, vz, jnp.where(kz_y, vx, vy))
-            return px, py, pz
-
-        dxp, dyp, dzp = perm(d[0][None], d[1][None], d[2][None])
         axp, ayp, azp = perm(*v0)
         bxp, byp, bzp = perm(*v1)
         cxp, cyp, czp = perm(*v2)
 
-        inv_dz = 1.0 / dzp
-        sx = -dxp * inv_dz
-        sy = -dyp * inv_dz
         ax = axp + sx * azp
         ay = ayp + sy * azp
         bx = bxp + sx * bzp
@@ -270,7 +299,7 @@ def _traverse_kernel(cap, anyhit, pend_size, ox, oy, oz, dx, dy, dz, tmax,
                          + delta_z * max_e) * jnp.abs(inv_det)
 
         hit = same_side & nonzero & in_range & (t > delta_t)
-        t = jnp.where(hit, t, jnp.inf)          # (cap, 8, 128)
+        t = jnp.where(hit, t, jnp.inf)          # (CHUNK, 8, 128)
 
         amin = jnp.argmin(t, axis=0)            # (8, 128)
         t_min = jnp.min(t, axis=0)
@@ -284,23 +313,28 @@ def _traverse_kernel(cap, anyhit, pend_size, ox, oy, oz, dx, dy, dz, tmax,
                 jnp.where(better, b1_min, b1_b),
                 jnp.where(better, b2_min, b2_b))
 
-    def outer_body(state):
-        sp, tests, t_best, row_b, b1_b, b2_b = state
+    cpl = (cap + CHUNK - 1) // CHUNK    # max pending chunks per leaf (static)
 
-        # ---- walk phase: fill the pending-leaf queue.
+    def outer_body(state):
+        sp, tests, pops, t_best, row_b, b1_b, b2_b = state
+
+        # ---- walk phase: fill the pending-chunk queue.
         # Stack entries are sibling-GROUP ids (-1 = skip sentinel): one pop
         # slab-tests all 8 children of a split against the packet, pushes the
         # child groups of hit interiors (positioned so pops come near-to-far
-        # by octant), and queues hit leaves.
+        # by octant), and queues hit leaves as CHUNK-row entries — only the
+        # ceil(count/CHUNK) chunks that hold real triangles, so the leaf
+        # phase never streams or tests a leaf's padding rows.
         def walk_cond(c):
             sp, npend = c[0], c[1]
-            return (sp > 0) & (npend <= pend_size - 8)
+            return (sp > 0) & (npend <= pend_size - 8 * cpl)
 
         def walk_body(c):
-            sp, npend, t_best = c
+            sp, npend, pops, t_best = c
             sp = sp - 1
             gid = stack[sp]
             valid = gid >= 0
+            pops = pops + valid.astype(jnp.int32)
             row = nodes[pl.ds(jnp.maximum(gid, 0), 1), :]   # (1, 8*NODE_LANES)
 
             @pl.when(valid)
@@ -339,54 +373,58 @@ def _traverse_kernel(cap, anyhit, pend_size, ox, oy, oz, dx, dy, dz, tmax,
                     # position so the nearest child (j == octant) pops first
                     stack[sp + 7 - (j ^ octant)] = child_g
 
-                @pl.when(leaf_j)
-                def _():
-                    pend[npend, 0] = row[0, base + 7].astype(jnp.int32)
-                    pend[npend, 1] = cnt
+                n_chunks = jnp.where(leaf_j, (cnt + (CHUNK - 1)) // CHUNK, 0)
+                leaf_off = row[0, base + 7].astype(jnp.int32)
+                for k in range(cpl):
+                    @pl.when(leaf_j & (k < n_chunks))
+                    def _():
+                        pend[npend + k] = leaf_off + CHUNK * k
 
                 pushed = pushed | push_j
-                npend = npend + leaf_j.astype(jnp.int32)
+                npend = npend + n_chunks
 
             sp = jnp.where(pushed, sp + 8, sp)
-            return sp, npend, t_best
+            return sp, npend, pops, t_best
 
-        sp, npend, t_best = jax.lax.while_loop(
-            walk_cond, walk_body, (sp, jnp.int32(0), t_best))
+        sp, npend, pops, t_best = jax.lax.while_loop(
+            walk_cond, walk_body, (sp, jnp.int32(0), pops, t_best))
 
-        # ---- leaf phase: stream pending leaves, double-buffered DMA
-        @pl.when(npend > 0)
-        def _():
-            leaf_dma(0, 0).start()
-
-        def flush_body(i, carry):
-            slot = jax.lax.rem(i, 2)
-
-            @pl.when(i + 1 < npend)
+        # ---- leaf phase: stream pending chunks, double-buffered DMA
+        if not skip_leaf:
+            @pl.when(npend > 0)
             def _():
-                leaf_dma(i + 1, jax.lax.rem(i + 1, 2)).start()
+                leaf_dma(0, 0).start()
 
-            leaf_dma(i, slot).wait()
-            return leaf_test(slot, pend[i, 0], carry)
+            def flush_body(i, carry):
+                slot = jax.lax.rem(i, 2)
 
-        t_best, row_b, b1_b, b2_b = jax.lax.fori_loop(
-            0, npend, flush_body, (t_best, row_b, b1_b, b2_b))
-        tests = tests + npend * jnp.int32(cap)
+                @pl.when(i + 1 < npend)
+                def _():
+                    leaf_dma(i + 1, jax.lax.rem(i + 1, 2)).start()
+
+                leaf_dma(i, slot).wait()
+                return leaf_test(slot, pend[i], carry)
+
+            t_best, row_b, b1_b, b2_b = jax.lax.fori_loop(
+                0, npend, flush_body, (t_best, row_b, b1_b, b2_b))
+        tests = tests + npend * jnp.int32(CHUNK)
         if anyhit:
             # Shadow-ray semantics: a found ray needs no more work. -inf
             # fails every node test (tn < t_best) including origin-inside
             # nodes (tn < 0); when the whole packet is done, drain the stack.
             t_best = jnp.where(row_b >= 0, -jnp.inf, t_best)
-            sp = jnp.where(jnp.all(row_b >= 0), jnp.int32(0), sp)
-        return sp, tests, t_best, row_b, b1_b, b2_b
+            done = (row_b >= 0) | (t_best == -jnp.inf)
+            sp = jnp.where(jnp.all(done), jnp.int32(0), sp)
+        return sp, tests, pops, t_best, row_b, b1_b, b2_b
 
     def outer_cond(state):
         return state[0] > 0
 
-    init = (jnp.int32(1), jnp.int32(0), tmax,
+    init = (jnp.int32(1), jnp.int32(0), jnp.int32(0), tmax,
             jnp.full((RAY_SUB, RAY_LANES), -1, jnp.int32),
             jnp.zeros((RAY_SUB, RAY_LANES), jnp.float32),
             jnp.zeros((RAY_SUB, RAY_LANES), jnp.float32))
-    sp, tests, t_best, row_b, b1_b, b2_b = jax.lax.while_loop(
+    sp, tests, pops, t_best, row_b, b1_b, b2_b = jax.lax.while_loop(
         outer_cond, outer_body, init)
 
     t_out[:] = t_best
@@ -394,18 +432,21 @@ def _traverse_kernel(cap, anyhit, pend_size, ox, oy, oz, dx, dy, dz, tmax,
     b1_out[:] = b1_b
     b2_out[:] = b2_b
     cnt_out[:] = jnp.broadcast_to(tests, (RAY_SUB, RAY_LANES))
+    pop_out[:] = jnp.broadcast_to(pops, (RAY_SUB, RAY_LANES))
 
 
-@functools.partial(jax.custom_jvp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_jvp, nondiff_argnums=(3, 4, 5, 6, 7))
 def _octree_pallas(rays, nodes, verts, cap, interpret, anyhit=False,
-                   pend_size=PEND_SIZE):
+                   pend_size=PEND_SIZE, skip_leaf=False):
     return _octree_pallas_impl(rays, nodes, verts, cap, interpret, anyhit,
-                               pend_size)
+                               pend_size, skip_leaf)
 
 
 @_octree_pallas.defjvp
-def _octree_pallas_jvp(cap, interpret, anyhit, pend_size, primals, tangents):
-    out = _octree_pallas(*primals, cap, interpret, anyhit, pend_size)
+def _octree_pallas_jvp(cap, interpret, anyhit, pend_size, skip_leaf,
+                       primals, tangents):
+    out = _octree_pallas(*primals, cap, interpret, anyhit, pend_size,
+                         skip_leaf)
     zeros = tuple(
         np.zeros(o.shape, jax.dtypes.float0)
         if jnp.issubdtype(o.dtype, jnp.integer) else jnp.zeros_like(o)
@@ -414,7 +455,7 @@ def _octree_pallas_jvp(cap, interpret, anyhit, pend_size, primals, tangents):
 
 
 def _octree_pallas_impl(rays, nodes, verts, cap, interpret, anyhit,
-                        pend_size):
+                        pend_size, skip_leaf=False):
     grid = (rays.shape[1] // RAY_SUB,)
 
     ray_spec = pl.BlockSpec((1, RAY_SUB, RAY_LANES), lambda i: (0, i, 0),
@@ -429,6 +470,7 @@ def _octree_pallas_impl(rays, nodes, verts, cap, interpret, anyhit,
         jax.ShapeDtypeStruct((n_rows, RAY_LANES), jnp.float32),
         jax.ShapeDtypeStruct((n_rows, RAY_LANES), jnp.float32),
         jax.ShapeDtypeStruct((n_rows, RAY_LANES), jnp.int32),
+        jax.ShapeDtypeStruct((n_rows, RAY_LANES), jnp.int32),
     )
 
     # Scoped-VMEM budget: the resident node table + leaf double-buffer +
@@ -438,16 +480,17 @@ def _octree_pallas_impl(rays, nodes, verts, cap, interpret, anyhit,
     vmem_limit = min(nodes_bytes + 32 * 1024 * 1024, 120 * 1024 * 1024)
 
     kernel = pl.pallas_call(
-        functools.partial(_traverse_kernel, cap, anyhit, pend_size),
+        functools.partial(_traverse_kernel, cap, anyhit, pend_size,
+                          skip_leaf),
         grid=grid,
         in_specs=[ray_spec] * 7 + [full(),
                                    pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=(out_spec,) * 5,
+        out_specs=(out_spec,) * 6,
         out_shape=out_shapes,
         scratch_shapes=[
             pltpu.SMEM((STACK_SIZE,), jnp.int32),
-            pltpu.SMEM((pend_size, 2), jnp.int32),
-            pltpu.VMEM((2, cap, VERT_COLS), jnp.float32),
+            pltpu.SMEM((pend_size,), jnp.int32),
+            pltpu.VMEM((2, CHUNK, VERT_COLS), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -470,14 +513,25 @@ def octree_anyhit_pallas(o, d, t_max, packed: PackedOctree, interpret=None):
 
 def octree_intersect_pallas(o, d, t_max, packed: PackedOctree,
                             interpret=None, anyhit=False,
-                            pend_size=None):
+                            pend_size=None, skip_leaf=False,
+                            return_stats=False):
     """Drop-in for octree_traverse backed by the packet kernel. Returns
     (t, tri_idx, b1, b2, tri_tests) with the usual conventions (with
-    anyhit=True, only ``tri_idx >= 0`` is meaningful)."""
+    anyhit=True, only ``tri_idx >= 0`` is meaningful).
+
+    return_stats: also return a dict with per-ray node-pop counts (the
+    walk-phase cost) alongside the triangle-test counts.
+    skip_leaf (profiling only): run the walk phase but never stream/test
+    leaf chunks — isolates walk cost (t never tightens, so this is an
+    UPPER bound on walk work; results are meaningless)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if pend_size is None:
         pend_size = PEND_SIZE
+    cpl = (packed.cap + CHUNK - 1) // CHUNK
+    assert pend_size > 8 * cpl, (
+        f"pend_size={pend_size} cannot hold one walk step's worst-case "
+        f"8 leaves x {cpl} chunks — the walk loop would never admit a pop")
     batch_shape = o.shape[:-1]
     n = int(np.prod(batch_shape)) if batch_shape else 1
     n_pad = -(-n // TILE_R) * TILE_R
@@ -493,9 +547,9 @@ def octree_intersect_pallas(o, d, t_max, packed: PackedOctree,
     rays = rays.at[6, n:].set(-1.0)     # padded rays: dead
     rays = rays.reshape(7, n_pad // RAY_LANES, RAY_LANES)
 
-    t, row, b1, b2, cnt = _octree_pallas(
+    t, row, b1, b2, cnt, pops = _octree_pallas(
         rays, packed.nodes, packed.leaf_verts, packed.cap, interpret,
-        anyhit, pend_size)
+        anyhit, pend_size, skip_leaf)
 
     flat = lambda x: x.reshape(-1)[:n].reshape(batch_shape)
     t = flat(t)
@@ -506,5 +560,8 @@ def octree_intersect_pallas(o, d, t_max, packed: PackedOctree,
     tri = jnp.where(row >= 0, packed.row_tri[jnp.maximum(row, 0)], -1)
     # anyhit poisons t to -inf on found rays; only the tri>=0 bit matters
     ok = (tri >= 0) if anyhit else (jnp.isfinite(t) & (tri >= 0))
-    return (jnp.where(ok, t, jnp.inf), jnp.where(ok, tri, -1),
-            b1, b2, cnt)
+    out = (jnp.where(ok, t, jnp.inf), jnp.where(ok, tri, -1),
+           b1, b2, cnt)
+    if return_stats:
+        return out + ({"node_pops": flat(pops)},)
+    return out

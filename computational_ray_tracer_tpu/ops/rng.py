@@ -436,7 +436,10 @@ def _global_sobol_cols(m):
             if Minv[k, r]:
                 mask |= 1 << k
         cols[r] = mask
-    return jnp.asarray(cols)
+    # NOTE: return host NumPy, not jnp — the result is lru_cached, and a
+    # jnp.asarray issued inside a jit trace is a tracer that would leak
+    # into every later trace with the same m.
+    return cols
 
 
 def sobol_global_index(px, py, frame, m):
@@ -445,7 +448,7 @@ def sobol_global_index(px, py, frame, m):
     ``m`` is static. Requires frame < 2^(32-2m)."""
     if m == 0:
         return _u32(frame)
-    cols = _global_sobol_cols(m)                    # (2m,) uint32
+    cols = jnp.asarray(_global_sobol_cols(m))       # (2m,) uint32
     i_hi = _u32(frame) << jnp.uint32(2 * m)
     x0 = sobol_sample_u32(i_hi, jnp.uint32(0))
     x1 = sobol_sample_u32(i_hi, jnp.uint32(1))

@@ -113,7 +113,9 @@ def load_mtl(path):
 
     - Kd               -> albedo_rgb
     - Ke (nonzero)     -> emission_rgb (+ emission_scale 1)
-    - illum 7 / d<1 / Tf -> kind dielectric, Ni -> eta
+    - illum 4/6/7/9 or d<1 -> kind dielectric, Ni -> eta (Tf alone is NOT
+      a transparency signal — it's a filter color, often 1 1 1 on opaque
+      materials)
     - Ks dominant + Ns -> kind rough_conductor, roughness = sqrt(2/(Ns+2))
       (Blinn-Phong exponent -> GGX alpha, the standard conversion)
     - map_Kd           -> texture path stored under 'texture_path' +
@@ -150,17 +152,19 @@ def load_mtl(path):
             elif key == "Tr":
                 cur["_d"] = 1.0 - float(t[1])
             elif key == "Tf":
-                tf = tuple(float(x) for x in t[1:4])
-                if max(tf) > 0.5:
-                    cur["_transmissive"] = True
+                # Tf is a transmission *filter* color, not an amount — many
+                # exporters emit "Tf 1 1 1" on fully opaque materials, so it
+                # only corroborates transparency (alongside a transmissive
+                # illum mode or d < 1), never asserts it by itself.
+                cur["_tf"] = tuple(float(x) for x in t[1:4])
             elif key == "illum":
                 cur["_illum"] = int(t[1])
             elif key == "map_Kd":
                 cur["texture_path"] = t[-1]
                 cur["use_texture"] = True
     for m in mats.values():
-        transmissive = (m.pop("_transmissive", False)
-                        or m.pop("_d", 1.0) < 0.999
+        m.pop("_tf", None)
+        transmissive = (m.pop("_d", 1.0) < 0.999
                         or m.get("_illum", 2) in (4, 6, 7, 9))
         ks = m.pop("_ks", (0.0, 0.0, 0.0))
         ns = m.pop("_ns", 0.0)
