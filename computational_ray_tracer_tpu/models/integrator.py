@@ -117,6 +117,14 @@ class RenderConfig:
     # (Shapes.h:1226-1256) with a conservative relative bound that renders
     # unit-scale and 1000x-scale scenes identically.
     ray_eps_scale: float = 3e-5
+    # Wavefront compaction (SURVEY §7 stance #1, second half): gather alive
+    # rays into a dense direction-sorted bucket between bounces so deep
+    # bounces pay for surviving rays only (the reference's dead pixels cost
+    # nothing, RayTracerTestApp.h:361-366). Changes NO sample value — every
+    # sample is keyed by (pixel, sample, dim). Served by
+    # render_pass_compact; render_pass/render_passes ignore it.
+    compact: bool = False
+    compact_quantum: int = 1024             # bucket rounding (packet tile)
 
     def __post_init__(self):
         # sobol_global needs the image geometry; derive it once here.
@@ -181,41 +189,29 @@ def li_direct(scene, o, d, wl, pixel, sample_idx, cfg):
     return L + contrib
 
 
-def _path_scan(scene, o, d, wl, pixel, sample_idx, cfg, mode):
-    """Shared wavefront loop for the three multi-bounce estimators
-    (Integrator.h:4-12 intent):
+def _bounce_step(scene, cfg, mode, state, depth, pixel, sample_idx):
+    """One bounce of the wavefront path loop, on whatever ray set ``state``
+    holds (the full wavefront under lax.scan, or a compacted alive-only
+    bucket under the host-driven loop). Every random decision inside is a
+    pure function of (seed, pixel, sample_idx, dim(depth)) — the ray set
+    membership cannot change any sample value (determinism contract).
 
-    - ``walk``: RandomWalk — BSDF sampling only, lights found by hitting;
-    - ``simple``: SimplePath — NEE at every diffuse vertex, BSDF-found
-      emission counted only on camera/specular prefixes;
-    - ``mis``: Path — NEE *and* BSDF-sampled emission, both weighted by the
-      power heuristic (montecarlo.balance/power_heuristic) so glossy +
-      small-light scenes converge where either strategy alone is poor.
-    """
+    ``state`` carries per-ray: o, d, beta, L, alive, specular, pdf_prev,
+    n_prev, lam (hero wavelengths), lam_pdf. Returns (new_state,
+    n_alive_in)."""
     from computational_ray_tracer_tpu.ops.montecarlo import power_heuristic
     s = cfg.sampler
-    n_shape = o.shape[:-1]
-    S = wl.lam.shape[-1]
     use_nee = mode in ("simple", "mis")
     use_mis = mode == "mis"
+    n_shape = state["alive"].shape
+    S = state["lam"].shape[-1]
 
-    init = dict(
-        o=o, d=d,
-        beta=jnp.ones(n_shape + (S,)),
-        L=jnp.zeros(n_shape + (S,)),
-        alive=jnp.ones(n_shape, bool),
-        specular=jnp.ones(n_shape, bool),   # last bounce was camera/specular
-        pdf_prev=jnp.ones(n_shape),         # solid-angle pdf of last bounce
-        n_prev=jnp.zeros(n_shape + (3,)),   # shading normal at last vertex
-        lam_pdf=wl.pdf,
-    )
-
-    def bounce(state, depth):
+    if True:   # (keeps the historical indentation of the bounce body)
         o, d = state["o"], state["d"]
         alive = state["alive"]
         beta = state["beta"]
         L = state["L"]
-        wl_cur = spec.SampledWavelengths(wl.lam, state["lam_pdf"])
+        wl_cur = spec.SampledWavelengths(state["lam"], state["lam_pdf"])
 
         t_max = jnp.where(alive, jnp.inf, -1.0)
         si, mid, _ = scene_intersect(scene, o, d, t_max)
@@ -325,8 +321,43 @@ def _path_scan(scene, o, d, wl, pixel, sample_idx, cfg, mode):
             specular=jnp.where(hit, is_spec, state["specular"]),
             pdf_prev=jnp.where(hit, pdf_bsdf, state["pdf_prev"]),
             n_prev=jnp.where(hit[..., None], si.n, state["n_prev"]),
+            lam=state["lam"],
             lam_pdf=lam_pdf)
         return state, jnp.sum(alive.astype(jnp.float32))
+
+
+def _init_path_state(o, d, wl):
+    n_shape = o.shape[:-1]
+    S = wl.lam.shape[-1]
+    return dict(
+        o=o, d=d,
+        beta=jnp.ones(n_shape + (S,)),
+        L=jnp.zeros(n_shape + (S,)),
+        alive=jnp.ones(n_shape, bool),
+        specular=jnp.ones(n_shape, bool),   # last bounce was camera/specular
+        pdf_prev=jnp.ones(n_shape),         # solid-angle pdf of last bounce
+        n_prev=jnp.zeros(n_shape + (3,)),   # shading normal at last vertex
+        lam=wl.lam,
+        lam_pdf=wl.pdf,
+    )
+
+
+def _path_scan(scene, o, d, wl, pixel, sample_idx, cfg, mode):
+    """Shared wavefront loop for the three multi-bounce estimators
+    (Integrator.h:4-12 intent):
+
+    - ``walk``: RandomWalk — BSDF sampling only, lights found by hitting;
+    - ``simple``: SimplePath — NEE at every diffuse vertex, BSDF-found
+      emission counted only on camera/specular prefixes;
+    - ``mis``: Path — NEE *and* BSDF-sampled emission, both weighted by the
+      power heuristic (montecarlo.balance/power_heuristic) so glossy +
+      small-light scenes converge where either strategy alone is poor.
+    """
+    init = _init_path_state(o, d, wl)
+
+    def bounce(state, depth):
+        return _bounce_step(scene, cfg, mode, state, depth, pixel,
+                            sample_idx)
 
     # One lax.scan over bounce depth (SURVEY §7 stance #1): the body is
     # traced ONCE regardless of max_depth, keeping the HLO small and
@@ -457,6 +488,126 @@ def render_pass(scene, camera, cfg: RenderConfig, filter_obj, sensor,
         rgb = rgb[inv]
         fw = fw[inv]
     return rgb.reshape(h, w, 3), fw.reshape(h, w)
+
+
+# ---------------------------------------------------------------------------
+# Compacted wavefront renderer (host-driven bounce loop)
+# ---------------------------------------------------------------------------
+
+_COMPACT_CACHE = {}
+
+
+def _compact_fns(cfg: RenderConfig, mode: str, camera, filter_obj, sensor):
+    """Jitted pieces of the compacted bounce loop, cached per
+    (config, camera/filter/sensor identity). Camera, filter and sensor are
+    closure captures exactly as in render_pass (they are not pytrees).
+
+    Jitted pieces of the compacted bounce loop, cached per config.
+
+    XLA needs static shapes, so "process only alive rays" becomes: sort
+    rays alive-first (sub-ordered by direction octant so the packet
+    traversal keeps coherent frustums), take the smallest quantized bucket
+    that covers the exact alive count, bounce that bucket, scatter back.
+    The alive count is read back to the host once per bounce — the only
+    sync — to pick the bucket size; each distinct bucket size compiles
+    once and is reused across passes."""
+    key = (cfg, mode, id(camera), id(filter_obj), id(sensor))
+    if key in _COMPACT_CACHE:
+        return _COMPACT_CACHE[key]
+
+    @jax.jit
+    def prologue(scene, sample_idx):
+        w, h = cfg.resolution
+        s = cfg.sampler
+        pixel, inv = _swizzled_pixels(w, h)
+        px = (pixel % w).astype(jnp.float32)
+        py = (pixel // w).astype(jnp.float32)
+        u_lam = s.get_1d(pixel, sample_idx, DIM_LAMBDA)
+        wl = _sample_wavelengths(cfg, u_lam)
+        u_filt = s.get_2d(pixel, sample_idx, DIM_FILTER)
+        fp, fw = filter_obj.sample(u_filt)
+        pixel_pos = jnp.stack([px + 0.5, py + 0.5], axis=-1) + fp
+        u_lens = s.get_2d(pixel, sample_idx, DIM_LENS)
+        o, d = camera.generate_rays(pixel_pos, u_lens)
+        return _init_path_state(o, d, wl), pixel, fw
+
+    @jax.jit
+    def count_alive(alive):
+        return jnp.sum(alive.astype(jnp.int32))
+
+    @partial(jax.jit, static_argnames=("bucket",))
+    def select(alive, d, bucket):
+        octant = ((d[..., 0] < 0) * 4 + (d[..., 1] < 0) * 2
+                  + (d[..., 2] < 0)).astype(jnp.int32)
+        key = jnp.where(alive, octant, jnp.int32(8))
+        return jnp.argsort(key, stable=True)[:bucket]
+
+    @jax.jit
+    def gather(state, pixel, idx):
+        sub = jax.tree_util.tree_map(lambda a: a[idx], state)
+        return sub, pixel[idx]
+
+    @jax.jit
+    def bounce_sub(scene, sub, depth, pixel_sub, sample_idx):
+        new, _ = _bounce_step(scene, cfg, mode, sub, depth, pixel_sub,
+                              sample_idx)
+        return new
+
+    @jax.jit
+    def scatter(state, sub_new, idx):
+        return {k: state[k].at[idx].set(sub_new[k]) for k in state}
+
+    @jax.jit
+    def epilogue(state, fw):
+        w, h = cfg.resolution
+        wl_out = spec.SampledWavelengths(state["lam"], state["lam_pdf"])
+        rgb = sensor.to_sensor_rgb(state["L"], wl_out)
+        if cfg.clamp > 0.0:
+            rgb = jnp.clip(rgb, 0.0, cfg.clamp)
+        else:
+            rgb = jnp.maximum(rgb, 0.0)
+        _, inv = _swizzled_pixels(w, h)
+        if inv is not None:
+            rgb = rgb[inv]
+            fw = fw[inv]
+        return rgb.reshape(h, w, 3), fw.reshape(h, w)
+
+    fns = (prologue, count_alive, select, gather, bounce_sub, scatter,
+           epilogue)
+    _COMPACT_CACHE[key] = fns
+    return fns
+
+
+def render_pass_compact(scene, camera, cfg: RenderConfig, filter_obj,
+                        sensor, sample_idx):
+    """One spp pass with between-bounce wavefront compaction. Sample
+    values are identical to render_pass (asserted by tests); only the set
+    of rays carried through each bounce shrinks. Host-driven: one alive-
+    count readback per bounce chooses the bucket size."""
+    assert cfg.integrator != "direct", "compaction needs a multi-bounce mode"
+    mode = {"walk": "walk", "simple": "simple"}.get(cfg.integrator, "mis")
+    (prologue, count_alive, select, gather, bounce_sub, scatter,
+     epilogue) = _compact_fns(cfg, mode, camera, filter_obj, sensor)
+
+    w, h = cfg.resolution
+    n = w * h
+    q = cfg.compact_quantum
+    state, pixel, fw = prologue(scene, jnp.uint32(sample_idx))
+    for depth in range(cfg.max_depth):
+        k = int(count_alive(state["alive"]))            # host sync
+        if k == 0:
+            break
+        bucket = min(n, -(-k // q) * q)
+        if bucket >= n:
+            state = bounce_sub(scene, state, jnp.uint32(depth), pixel,
+                               jnp.uint32(sample_idx))
+        else:
+            idx = select(state["alive"], state["d"], bucket)
+            sub, pixel_sub = gather(state, pixel, idx)
+            sub_new = bounce_sub(scene, sub, jnp.uint32(depth), pixel_sub,
+                                 jnp.uint32(sample_idx))
+            state = scatter(state, sub_new, idx)
+    return epilogue(state, fw)
 
 
 def render_pass_block(scene, camera, cfg: RenderConfig, filter_obj, sensor,

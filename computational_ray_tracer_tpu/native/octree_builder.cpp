@@ -109,6 +109,8 @@ int crt_build_octree(const float* positions, int64_t n_verts,
     if (n_verts <= 0 || n_tris <= 0) return -1;
 
     std::vector<Vec3> tv0(n_tris), tv1(n_tris), tv2(n_tris);
+    // Per-triangle AABBs for the cheap candidate pre-filter below.
+    std::vector<double> tlo(n_tris * 3), thi(n_tris * 3);
     double root_lo[3] = {1e300, 1e300, 1e300};
     double root_hi[3] = {-1e300, -1e300, -1e300};
     for (int64_t v = 0; v < n_verts; ++v) {
@@ -126,6 +128,10 @@ int crt_build_octree(const float* positions, int64_t n_verts,
         tv0[t] = {a[0], a[1], a[2]};
         tv1[t] = {b[0], b[1], b[2]};
         tv2[t] = {c[0], c[1], c[2]};
+        for (int i = 0; i < 3; ++i) {
+            tlo[t * 3 + i] = std::min({tv0[t][i], tv1[t][i], tv2[t][i]});
+            thi[t * 3 + i] = std::max({tv0[t][i], tv1[t][i], tv2[t][i]});
+        }
     }
 
     std::vector<double> nlo, nhi;        // (M, 3)
@@ -168,7 +174,7 @@ int crt_build_octree(const float* positions, int64_t n_verts,
                          (lo[2] + hi[2]) / 2.0};
         std::vector<int32_t> child_sets[8];
         double child_lo[8][3], child_hi[8][3];
-        size_t max_child = 0;
+        double centers[8][3], halves[8][3];
         int ci = 0;
         for (int ix = 0; ix < 2; ++ix)
         for (int iy = 0; iy < 2; ++iy)
@@ -180,20 +186,46 @@ int crt_build_octree(const float* positions, int64_t n_verts,
                              iy == 0 ? mid[1] : hi[1],
                              iz == 0 ? mid[2] : hi[2]};
             for (int i = 0; i < 3; ++i) { clo[i] -= padding; chi[i] += padding; }
-            double center[3], half[3];
             for (int i = 0; i < 3; ++i) {
-                center[i] = (clo[i] + chi[i]) / 2.0;
-                half[i] = (chi[i] - clo[i]) / 2.0;
+                centers[ci][i] = (clo[i] + chi[i]) / 2.0;
+                halves[ci][i] = (chi[i] - clo[i]) / 2.0;
             }
-            auto& set = child_sets[ci];
-            set.reserve(item.tris.size() / 4);
-            for (int32_t t : item.tris)
-                if (tri_box_overlap(center, half, tv0[t], tv1[t], tv2[t]))
-                    set.push_back(t);
             std::memcpy(child_lo[ci], clo, sizeof clo);
             std::memcpy(child_hi[ci], chi, sizeof chi);
-            max_child = std::max(max_child, set.size());
+            child_sets[ci].reserve(item.tris.size() / 6);
         }
+
+        // One pass over the triangles: a per-axis padded half-slab overlap
+        // of the triangle's AABB picks candidate children (12 compares),
+        // and the full Möller SAT runs only on candidates. AABB overlap is
+        // a NECESSARY condition for SAT overlap (the SAT includes the same
+        // three box-axis interval tests), so this prunes without changing
+        // any membership — the tree stays bit-identical to the NumPy
+        // oracle builder, just ~10x cheaper on real meshes.
+        for (int32_t t : item.tris) {
+            bool ov[3][2];
+            for (int i = 0; i < 3; ++i) {
+                double a = tlo[(size_t)t * 3 + i], b = thi[(size_t)t * 3 + i];
+                ov[i][0] = (a <= mid[i] + padding) && (b >= lo[i] - padding);
+                ov[i][1] = (a <= hi[i] + padding) && (b >= mid[i] - padding);
+            }
+            for (int ix = 0; ix < 2; ++ix) {
+                if (!ov[0][ix]) continue;
+                for (int iy = 0; iy < 2; ++iy) {
+                    if (!ov[1][iy]) continue;
+                    for (int iz = 0; iz < 2; ++iz) {
+                        if (!ov[2][iz]) continue;
+                        int c = ix * 4 + iy * 2 + iz;
+                        if (tri_box_overlap(centers[c], halves[c],
+                                            tv0[t], tv1[t], tv2[t]))
+                            child_sets[c].push_back(t);
+                    }
+                }
+            }
+        }
+        size_t max_child = 0;
+        for (int c = 0; c < 8; ++c)
+            max_child = std::max(max_child, child_sets[c].size());
 
         // Abort-split rule (Octtree_Model.h:331-340): no separation achieved.
         if (max_child >= item.tris.size()) {
