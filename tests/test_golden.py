@@ -39,7 +39,7 @@ def golden1_sphere_direct():
     return scene, camera, cfg
 
 
-def golden2_cornell_path():
+def golden2_cornell_path(res=32, spp=4):
     pos, idx, uv, mats, (lc, le1, le2) = mesh_gen.cornell_box(2.0)
     mesh = trimod.MeshData.build(pos, idx, uvs=uv)
     scene = Scene.build(
@@ -51,16 +51,16 @@ def golden2_cornell_path():
         lights=[{"kind": "quad", "corner": tuple(lc), "edge1": tuple(le1),
                  "edge2": tuple(le2), "rgb": (1.0, 0.85, 0.6), "scale": 6.0}],
         mesh=(mesh, jnp.asarray(mats)), use_octree=False)
-    camera = cam.PerspectiveCamera.create((0, 0, -2.8), (32, 32), fov_y=50.0,
-                                          look_at=(0, 0, 0))
+    camera = cam.PerspectiveCamera.create((0, 0, -2.8), (res, res),
+                                          fov_y=50.0, look_at=(0, 0, 0))
     cfg = integ.RenderConfig(
-        resolution=(32, 32),
-        sampler=integ.SamplerConfig(kind="sobol", spp=4),
+        resolution=(res, res),
+        sampler=integ.SamplerConfig(kind="sobol", spp=spp),
         integrator="path", max_depth=4)
     return scene, camera, cfg
 
 
-def golden3_mesh_octree_textured():
+def golden3_mesh_octree_textured(res=32, spp=2):
     out = mesh_gen.uv_sphere((0.0, 0.0, 0.0), 1.0, n_theta=24, n_phi=24)
     mesh = trimod.MeshData.build(out[0], out[1], uvs=out[2])
     tex = mesh_gen.checker_texture(32)
@@ -71,11 +71,11 @@ def golden3_mesh_octree_textured():
                  "rgb": (1.0, 1.0, 1.0), "scale": 40.0}],
         mesh=(mesh, jnp.zeros((mesh.n_triangles,), jnp.int32)),
         use_octree=True, texture_rgb=tex)
-    camera = cam.PerspectiveCamera.create((0, 0.6, -3.2), (32, 32),
+    camera = cam.PerspectiveCamera.create((0, 0.6, -3.2), (res, res),
                                           fov_y=40.0, look_at=(0, 0, 0))
     cfg = integ.RenderConfig(
-        resolution=(32, 32),
-        sampler=integ.SamplerConfig(kind="independent", spp=2),
+        resolution=(res, res),
+        sampler=integ.SamplerConfig(kind="independent", spp=spp),
         integrator="direct", max_depth=1)
     return scene, camera, cfg
 
@@ -113,6 +113,13 @@ GOLDENS = {
     "config2_cornell_path": golden2_cornell_path,
     "config3_mesh_octree_textured": golden3_mesh_octree_textured,
     "config4_spectral": golden4_spectral,
+    # Higher-resolution variants (VERDICT r2 weak #5): at 32x32, structure
+    # below ~3% of image extent is invisible — 128x128 catches silhouette /
+    # filter regressions. config2_128 doubles as the TPU-vs-CPU-golden gate
+    # rendered by bench.py on the real chip (BASELINE.md row 3).
+    "config2_cornell_path_128": lambda: golden2_cornell_path(res=128, spp=4),
+    "config3_mesh_octree_textured_128":
+        lambda: golden3_mesh_octree_textured(res=128, spp=2),
 }
 
 

@@ -125,3 +125,24 @@ def test_global_mesh_and_init():
     m = par.global_mesh(n_sp=2)
     assert dict(m.shape)["sp"] == 2
     assert dict(m.shape)["dp"] * 2 == n_dev
+
+
+def test_sharded_packed_octree_matches_single_device():
+    """The flagship mesh path under shard_map: a packed-octree scene
+    (PackedOctree pytree with static cap aux) must replicate correctly and
+    render identically to the single-device image — through the Pallas
+    packet kernel (interpret mode on CPU devices)."""
+    from __graft_entry__ import _cornell_setup
+
+    scene, camera, _ = _cornell_setup(res=16, spp=2, use_octree=True,
+                                      use_pallas=True)
+    c = integ.RenderConfig(
+        resolution=(16, 16),
+        sampler=integ.SamplerConfig(kind="sobol", spp=2),
+        integrator="path", max_depth=3)
+    film_ref, _ = integ.render(scene, camera, c)
+    mesh = par.make_mesh(n_dp=4, n_sp=2, devices=jax.devices("cpu"))
+    film_sh, _ = par.render_distributed(scene, camera, c, mesh)
+    np.testing.assert_allclose(np.asarray(film_sh.rgb_sum),
+                               np.asarray(film_ref.rgb_sum),
+                               rtol=1e-4, atol=1e-5)
