@@ -1,29 +1,44 @@
 """Benchmark harness (BASELINE.md north-star metrics). Prints ONE JSON line:
 {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "detail": {...}}
 
-Two workloads, both on the real chip:
-- headline: rays/sec/chip on the 1024spp Cornell box (path MIS, depth 4);
-- dragon-class: rays/sec on a 327k-triangle displaced icosphere through the
-  Pallas packet octree at 512x512 (the reference's canonical scale,
-  RayTracerTestApp.h:70-106) — reported in detail.mesh.
+Workloads, all on the real chip:
+- headline: rays/sec/chip on the 1024spp Cornell box (path MIS, depth 4,
+  Sobol) — the metric tracked round-over-round in BENCH_rN;
+- legacy pin: the identical config is ALSO timed with the round-1 launch
+  shape (one render_pass per spp, no chunking) so config/driver changes
+  can never hide a regression behind a definition change;
+- dragon-class mesh (detail.mesh): direct lighting on a 327k-tri displaced
+  icosphere through the Pallas packet octree at 512x512;
+- flagship parity (detail.flagship): the reference's canonical workload
+  end-to-end — textured mesh + octree + path/MIS + gaussian filter +
+  sensor resolve at 512x512 (RayTracerTestApp.h:70-189);
+- golden gate (detail.golden_gate): the 128x128 Cornell golden config
+  rendered on TPU vs the checked-in CPU golden (BASELINE.md row 3);
+- gradient consistency (detail.grad_check): inverse-rendering gradient on
+  a mesh scene with the Pallas forward vs the jnp-traversal oracle.
 
-Rays/s counts every traced ray: camera rays plus per-bounce continuation and
-NEE shadow rays (the standard wavefront metric); the per-depth alive-ray
+Rays/s counts every traced ray: camera rays plus per-bounce continuation
+and NEE shadow rays (the standard wavefront metric); per-depth alive-ray
 fractions are reported alongside so the nominal count stays honest.
-A stored per-round baseline (benchmarks/baseline.json) anchors vs_baseline;
-the first run writes it.
+A stored per-round baseline (benchmarks/baseline.json) anchors vs_baseline.
 
 env: BENCH_RES, BENCH_SPP, BENCH_PASSES, BENCH_CHUNK, BENCH_SPP_BLOCK,
-     BENCH_MESH=0 to skip the dragon workload, BENCH_MESH_SUBDIV,
-     BENCH_MESH_RES, BENCH_MESH_SPP.
+     BENCH_MESH=0 / BENCH_FLAGSHIP=0 / BENCH_LEGACY=0 / BENCH_GOLDEN=0 /
+     BENCH_GRAD=0 to skip blocks, BENCH_MESH_SUBDIV, BENCH_MESH_RES,
+     BENCH_MESH_SPP, BENCH_MESH_CAP (octree leaf capacity).
 """
 
+import dataclasses
 import json
 import os
 import sys
 import time
 
 import numpy as np
+
+
+def _env(name, default):
+    return int(os.environ.get(name, str(default)))
 
 
 def bench_cornell(res, spp, max_depth=4):
@@ -40,8 +55,8 @@ def bench_cornell(res, spp, max_depth=4):
     filter_obj = integ.make_filter(cfg)
     sensor = integ.make_sensor(cfg)
 
-    chunk = int(os.environ.get("BENCH_CHUNK", "8"))
-    spp_block = int(os.environ.get("BENCH_SPP_BLOCK", "1"))
+    chunk = _env("BENCH_CHUNK", 8)
+    spp_block = _env("BENCH_SPP_BLOCK", 1)
 
     @jax.jit
     def chunk_pass(scene, sample_idx):
@@ -51,7 +66,7 @@ def bench_cornell(res, spp, max_depth=4):
     rgb, wt = chunk_pass(scene, jnp.uint32(0))
     rgb.block_until_ready()
 
-    n_timed = int(os.environ.get("BENCH_PASSES", "32"))
+    n_timed = _env("BENCH_PASSES", 32)
     n_chunks = max(1, n_timed // chunk)
     n_timed = n_chunks * chunk
     t0 = time.perf_counter()
@@ -66,7 +81,7 @@ def bench_cornell(res, spp, max_depth=4):
     n_pixels = res * res
     rays_per_sample = 1 + (max_depth - 1) + max_depth
     rays_per_sec = n_pixels * n_timed * rays_per_sample / dt
-    return {
+    detail = {
         "rays_per_sec": rays_per_sec,
         "passes_timed": n_timed,
         "sec_per_spp_pass": round(dt / n_timed, 6),
@@ -74,31 +89,61 @@ def bench_cornell(res, spp, max_depth=4):
         "alive_frac_per_depth": [round(float(a), 4) for a in alive],
     }
 
+    if os.environ.get("BENCH_LEGACY", "1") != "0":
+        # Round-1 launch shape: one render_pass per spp, no chunk/scan.
+        @jax.jit
+        def one_pass(scene, sample_idx):
+            return integ.render_pass(scene, camera, cfg, filter_obj,
+                                     sensor, sample_idx)
 
-def bench_dragon():
-    import jax
+        rgb, _ = one_pass(scene, jnp.uint32(0))
+        rgb.block_until_ready()
+        n_legacy = min(n_timed, 16)
+        t0 = time.perf_counter()
+        for i in range(n_legacy):
+            rgb, _ = one_pass(scene, jnp.uint32(i + 1))
+        rgb.block_until_ready()
+        dt_l = time.perf_counter() - t0
+        detail["legacy_unchunked"] = {
+            "rays_per_sec": round(
+                n_pixels * n_legacy * rays_per_sample / dt_l, 1),
+            "passes_timed": n_legacy,
+            "sec_per_spp_pass": round(dt_l / n_legacy, 6),
+        }
+    return detail
+
+
+def _dragon_scene(subdiv, cap):
     import jax.numpy as jnp
     from computational_ray_tracer_tpu.models.scene import Scene
-    from computational_ray_tracer_tpu.models import integrator as integ
-    from computational_ray_tracer_tpu.ops import camera as cam
     from computational_ray_tracer_tpu.ops import triangle as trimod
     from computational_ray_tracer_tpu.utils import mesh_gen
 
-    subdiv = int(os.environ.get("BENCH_MESH_SUBDIV", "7"))
-    res = int(os.environ.get("BENCH_MESH_RES", "512"))
-    spp = int(os.environ.get("BENCH_MESH_SPP", "4"))
-
-    t0 = time.perf_counter()
     v, f, uv = mesh_gen.displaced_icosphere(subdiv)
     mesh = trimod.MeshData.build(v, f, uvs=uv)
-    scene = Scene.build(
+    return Scene.build(
         materials=[{"kind": "diffuse", "albedo_rgb": (0.75, 0.71, 0.62)}],
         lights=[{"kind": "distant", "direction": (-0.4, -1.0, 0.5),
                  "rgb": (1.0, 1.0, 1.0), "scale": 4.0},
                 {"kind": "ambient", "spd_named": "stdillum-D65",
                  "scale": 0.15}],
         mesh=(mesh, jnp.zeros((mesh.n_triangles,), jnp.int32)),
-        use_octree=True)
+        use_octree=True, octree_capacity=cap)
+
+
+def bench_dragon():
+    import jax
+    import jax.numpy as jnp
+    from computational_ray_tracer_tpu.models import integrator as integ
+    from computational_ray_tracer_tpu.ops import camera as cam
+
+    subdiv = _env("BENCH_MESH_SUBDIV", 7)
+    res = _env("BENCH_MESH_RES", 512)
+    spp = _env("BENCH_MESH_SPP", 4)
+    cap = _env("BENCH_MESH_CAP", 16)
+
+    t0 = time.perf_counter()
+    scene = _dragon_scene(subdiv, cap)
     build_dt = time.perf_counter() - t0
     camera = cam.PerspectiveCamera.create((0, 0.5, -3.4), (res, res),
                                           fov_y=40.0, look_at=(0, 0, 0))
@@ -127,8 +172,10 @@ def bench_dragon():
 
     # direct lighting: 1 camera ray + 1 shadow ray per sample
     rays = res * res * 2
-    return {
-        "n_triangles": int(mesh.n_triangles),
+    n_tris = int(scene.mesh.n_triangles)
+    return scene, {
+        "n_triangles": n_tris,
+        "leaf_cap": cap,
         "rays_per_sec": round(rays / dt, 1),
         "sec_per_spp_pass": round(dt, 4),
         "octree": scene.octree.info(),
@@ -138,17 +185,158 @@ def bench_dragon():
     }
 
 
+def bench_flagship(dragon_scene=None):
+    """The reference's canonical end-to-end workload
+    (RayTracerTestApp.h:70-189): dragon-class textured mesh + octree +
+    thin-lens perspective camera + stratified sampling + path/MIS +
+    gaussian filter + sensor resolve, 512x512."""
+    import jax
+    import jax.numpy as jnp
+    import dataclasses as dc
+    from computational_ray_tracer_tpu.models import integrator as integ
+    from computational_ray_tracer_tpu.models.scene import Scene
+    from computational_ray_tracer_tpu.ops import camera as cam
+    from computational_ray_tracer_tpu.ops import color as colorlib
+    from computational_ray_tracer_tpu.utils import mesh_gen
+
+    res = _env("BENCH_MESH_RES", 512)
+    spp = _env("BENCH_MESH_SPP", 4)
+    depth = 4
+
+    scene = dragon_scene
+    if scene is None:
+        scene = _dragon_scene(_env("BENCH_MESH_SUBDIV", 7),
+                              _env("BENCH_MESH_CAP", 16))
+    # texture the dragon (uvmap.png analog: procedural checker through the
+    # rgb2spec sigmoid table) and light it like the reference scene
+    tex = mesh_gen.checker_texture(256)
+    img = jnp.asarray(np.asarray(tex, np.float32))
+    table = colorlib.RGBToSpectrumTable.srgb()
+    tex_coeffs = table.lookup(img.reshape(-1, 3)).reshape(*img.shape)
+    mats = dc.replace(scene.materials,
+                      use_texture=jnp.ones_like(scene.materials.use_texture))
+    scene = dc.replace(scene, texture=tex_coeffs, materials=mats)
+
+    camera = cam.PerspectiveCamera.create(
+        (0, 0.5, -3.4), (res, res), fov_y=40.0, look_at=(0, 0, 0),
+        lens_radius=0.02, focal_distance=3.4)
+    cfg = integ.RenderConfig(
+        resolution=(res, res),
+        sampler=integ.SamplerConfig(kind="stratified", spp=max(spp, 4),
+                                    xs=2, ys=2),
+        integrator="path", max_depth=depth,
+        filter_name="gaussian", filter_radius=(0.5, 0.5))
+    filter_obj = integ.make_filter(cfg)
+    sensor = integ.make_sensor(cfg)
+
+    @jax.jit
+    def one_pass(scene, sample_idx):
+        return integ.render_pass(scene, camera, cfg, filter_obj, sensor,
+                                 sample_idx)
+
+    t0 = time.perf_counter()
+    rgb, wt = one_pass(scene, jnp.uint32(0))
+    rgb.block_until_ready()
+    compile_dt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for i in range(spp):
+        rgb, wt = one_pass(scene, jnp.uint32(i + 1))
+    rgb.block_until_ready()
+    dt = (time.perf_counter() - t0) / spp
+
+    rays_per_sample = 1 + (depth - 1) + depth
+    return {
+        "rays_per_sec": round(res * res * rays_per_sample / dt, 1),
+        "sec_per_spp_pass": round(dt, 4),
+        "compile_sec": round(compile_dt, 1),
+        "img_mean": round(float(jnp.mean(rgb)), 5),
+    }
+
+
+def bench_golden_gate():
+    """Render the 128x128 Cornell golden config on THIS device and compare
+    against the checked-in CPU golden (BASELINE.md row 3 cross-check)."""
+    import jax
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
+    from test_golden import golden2_cornell_path, _render
+
+    img = _render(lambda: golden2_cornell_path(res=128, spp=4))
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tests", "golden", "config2_cornell_path_128.npy")
+    golden = np.load(path)
+    atol = 2e-3 * max(float(golden.max()), 1e-3)
+    max_diff = float(np.abs(img - golden).max())
+    return {"max_abs_diff": round(max_diff, 6),
+            "atol": round(atol, 6),
+            "ok": bool(max_diff <= atol)}
+
+
+def bench_grad_check():
+    """TPU gradient consistency: d(loss)/d(albedo) on a mesh+octree scene
+    with the Pallas packet forward must match the jnp lockstep-traversal
+    oracle (the kernel's hit ids carry zero tangents by design — both
+    paths must therefore produce the same reparameterized gradient)."""
+    import jax
+    import jax.numpy as jnp
+    import dataclasses as dc
+    from computational_ray_tracer_tpu.models import integrator as integ
+    from computational_ray_tracer_tpu.ops import camera as cam
+
+    scene = _dragon_scene(3, 16)            # 1280 tris: fast, still packed
+    res = 32
+    camera = cam.PerspectiveCamera.create((0, 0.5, -3.4), (res, res),
+                                          fov_y=40.0, look_at=(0, 0, 0))
+    cfg = integ.RenderConfig(
+        resolution=(res, res),
+        sampler=integ.SamplerConfig(kind="sobol", spp=2),
+        integrator="path", max_depth=2)
+    filter_obj = integ.make_filter(cfg)
+    sensor = integ.make_sensor(cfg)
+
+    def make_loss(scene_var):
+        def loss(coeffs):
+            s = dc.replace(scene_var, materials=dc.replace(
+                scene_var.materials, albedo_coeffs=coeffs))
+            rgb, wt = integ.render_pass(s, camera, cfg, filter_obj, sensor,
+                                        jnp.uint32(0))
+            return jnp.mean(rgb)
+        return loss
+
+    coeffs = scene.materials.albedo_coeffs
+    # Pallas forward (auto-selected on TPU)
+    g_pallas = jax.jit(jax.grad(make_loss(scene)))(coeffs)
+    # jnp lockstep-traversal oracle on the same device
+    scene_jnp = dc.replace(scene, packed_octree=None)
+    g_jnp = jax.jit(jax.grad(make_loss(scene_jnp)))(coeffs)
+    g_pallas = np.asarray(g_pallas)
+    g_jnp = np.asarray(g_jnp)
+    scale = max(float(np.abs(g_jnp).max()), 1e-12)
+    max_rel = float(np.abs(g_pallas - g_jnp).max() / scale)
+    return {"grad_max_rel_diff": round(max_rel, 6),
+            "grad_linf_oracle": round(float(np.abs(g_jnp).max()), 8),
+            "ok": bool(max_rel < 1e-3)}
+
+
 def main():
     import jax
 
-    res = int(os.environ.get("BENCH_RES", "256"))
-    spp = int(os.environ.get("BENCH_SPP", "1024"))
+    res = _env("BENCH_RES", 256)
+    spp = _env("BENCH_SPP", 1024)
     cornell = bench_cornell(res, spp)
-    mesh_detail = None
-    if os.environ.get("BENCH_MESH", "1") != "0":
-        mesh_detail = bench_dragon()
+    detail = {"device": str(jax.devices()[0]), **cornell}
 
-    rays_per_sec = cornell.pop("rays_per_sec")
+    dragon_scene = None
+    if os.environ.get("BENCH_MESH", "1") != "0":
+        dragon_scene, detail["mesh"] = bench_dragon()
+    if os.environ.get("BENCH_FLAGSHIP", "1") != "0":
+        detail["flagship"] = bench_flagship(dragon_scene)
+    if os.environ.get("BENCH_GOLDEN", "1") != "0":
+        detail["golden_gate"] = bench_golden_gate()
+    if os.environ.get("BENCH_GRAD", "1") != "0":
+        detail["grad_check"] = bench_grad_check()
+
+    rays_per_sec = detail.pop("rays_per_sec")
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "benchmarks", "baseline.json")
     baseline = None
@@ -162,9 +350,6 @@ def main():
                        "device": str(jax.devices()[0])}, f)
         baseline = rays_per_sec
 
-    detail = {"device": str(jax.devices()[0]), **cornell}
-    if mesh_detail is not None:
-        detail["mesh"] = mesh_detail
     print(json.dumps({
         "metric": f"rays_per_sec_per_chip_cornell_{res}x{res}_path4",
         "value": round(rays_per_sec, 1),

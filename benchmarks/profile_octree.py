@@ -36,6 +36,7 @@ def main():
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args()
 
+    import numpy as np
     import jax
     import jax.numpy as jnp
     from computational_ray_tracer_tpu.utils import mesh_gen
@@ -60,14 +61,30 @@ def main():
     res = args.res
     camera = cam.PerspectiveCamera.create((0, 0.5, -3.4), (res, res),
                                           fov_y=40.0, look_at=(0, 0, 0))
-    tiled = _tile_perm(res, res)[0]
-    pp = jnp.stack([(tiled % res).astype(jnp.float32) + 0.5,
-                    (tiled // res).astype(jnp.float32) + 0.5], axis=-1)
-    o, d = camera.generate_rays(pp, jnp.full((res * res, 2), 0.5))
-    t_max = jnp.full((res * res,), jnp.inf)
-    # shadow rays: from the camera-hit points toward the distant light
-    light_d = -jnp.asarray([-0.4, -1.0, 0.5])
-    light_d = light_d / jnp.linalg.norm(light_d)
+
+    # ONE jitted setup call: on the remote-attached TPU every eager op
+    # dispatch costs seconds, so all device math must live inside jits.
+    @jax.jit
+    def make_rays():
+        tiled = _tile_perm(res, res)[0]
+        pp = jnp.stack([(tiled % res).astype(jnp.float32) + 0.5,
+                        (tiled // res).astype(jnp.float32) + 0.5], axis=-1)
+        o, d = camera.generate_rays(pp, jnp.full((res * res, 2), 0.5))
+        return o, d, jnp.full((res * res,), jnp.inf)
+
+    o, d, t_max = jax.block_until_ready(make_rays())
+    emit({"setup": "rays_ready"})
+
+    @jax.jit
+    def make_shadow(o, d, t_res):
+        light_d = -jnp.asarray([-0.4, -1.0, 0.5])
+        light_d = light_d / jnp.linalg.norm(light_d)
+        hitm = jnp.isfinite(t_res)
+        p_hit = o + d * jnp.where(hitm, t_res, 1.0)[:, None]
+        so = p_hit + light_d[None, :] * 1e-3
+        sd = jnp.broadcast_to(light_d[None, :], so.shape)
+        s_tmax = jnp.where(hitm, 1e6, -1.0)
+        return so, sd, s_tmax
 
     def timed(fn, *a):
         t0 = time.perf_counter()
@@ -83,11 +100,11 @@ def main():
     for cap in [int(c) for c in args.caps.split(",")]:
         # --- staged build timing
         t0 = time.perf_counter()
-        pos = __import__("numpy").asarray(mesh.positions)
+        pos_np, idx_np = octmod.host_mesh_arrays(mesh)
         padding = octmod.CHILD_PADDING_FRAC * float(
-            (pos.max(axis=0) - pos.min(axis=0)).max())
-        tree_np = octmod._build_octree_native(mesh, cap, octmod.MAX_DEPTH,
-                                              padding)
+            (pos_np.max(axis=0) - pos_np.min(axis=0)).max())
+        tree_np = octmod._build_octree_native(pos_np, idx_np, cap,
+                                              octmod.MAX_DEPTH, padding)
         t_build = time.perf_counter() - t0
         t0 = time.perf_counter()
         tree_np = octmod._split_oversized_leaves(tree_np, cap)
@@ -117,23 +134,25 @@ def main():
             ]
             stats_closest = None
             for name, kw in variants:
-                fn = jax.jit(lambda o, d, t, kw=kw, p=pend:
+                # packed MUST be a jit argument: closure constants are
+                # embedded in the HLO and the remote compile helper
+                # rejects gigabyte request bodies (HTTP 413)
+                fn = jax.jit(lambda o, d, t, pk, kw=kw, p=pend:
                              poct.octree_intersect_pallas(
-                                 o, d, t, packed, pend_size=p,
+                                 o, d, t, pk, pend_size=p,
                                  return_stats=True, **kw))
-                out, dt, cdt = timed(fn, o, d, t_max)
+                out, dt, cdt = timed(fn, o, d, t_max, packed)
                 t_res, tri, b1, b2, cnt, st = out
                 rec = {
                     "cap": cap, "pend": pend, "variant": name,
                     "rays_per_sec": round(res * res / dt, 1),
                     "sec_per_wavefront": round(dt, 4),
                     "tri_tests_per_ray": round(
-                        float(jnp.mean(cnt.astype(jnp.float32))), 1),
+                        float(np.asarray(cnt).mean()), 1),
                     "node_pops_per_ray": round(
-                        float(jnp.mean(st["node_pops"]
-                                       .astype(jnp.float32))), 1),
-                    "hit_frac": round(float(jnp.mean(
-                        (tri >= 0).astype(jnp.float32))), 4),
+                        float(np.asarray(st["node_pops"]).mean()), 1),
+                    "hit_frac": round(
+                        float((np.asarray(tri) >= 0).mean()), 4),
                     "compile_sec": round(cdt, 1),
                 }
                 emit(rec)
@@ -142,26 +161,21 @@ def main():
 
             # anyhit on the real shadow workload: origins at camera hits
             t_res, tri = stats_closest
-            hitm = jnp.isfinite(t_res)
-            p_hit = o + d * jnp.where(hitm, t_res, 1.0)[:, None]
-            so = p_hit + light_d[None, :] * 1e-3
-            s_tmax = jnp.where(hitm, 1e6, -1.0)
-            fn = jax.jit(lambda o_, d_, t_, p=pend:
+            so, sd, s_tmax = jax.block_until_ready(make_shadow(o, d, t_res))
+            fn = jax.jit(lambda o_, d_, t_, pk, p=pend:
                          poct.octree_intersect_pallas(
-                             o_, d_, t_, packed, anyhit=True, pend_size=p,
+                             o_, d_, t_, pk, anyhit=True, pend_size=p,
                              return_stats=True))
-            sd = jnp.broadcast_to(light_d[None, :], so.shape)
-            out, dt, cdt = timed(fn, so, sd, s_tmax)
+            out, dt, cdt = timed(fn, so, sd, s_tmax, packed)
             emit({"cap": cap, "pend": pend, "variant": "anyhit_shadow",
                   "rays_per_sec": round(res * res / dt, 1),
                   "sec_per_wavefront": round(dt, 4),
                   "tri_tests_per_ray": round(
-                      float(jnp.mean(out[4].astype(jnp.float32))), 1),
+                      float(np.asarray(out[4]).mean()), 1),
                   "node_pops_per_ray": round(
-                      float(jnp.mean(out[5]["node_pops"]
-                                     .astype(jnp.float32))), 1),
-                  "occluded_frac": round(float(jnp.mean(
-                      (out[1] >= 0).astype(jnp.float32))), 4),
+                      float(np.asarray(out[5]["node_pops"]).mean()), 1),
+                  "occluded_frac": round(
+                      float((np.asarray(out[1]) >= 0).mean()), 4),
                   "compile_sec": round(cdt, 1)})
 
     out_path = args.out or os.path.join(os.path.dirname(

@@ -60,16 +60,16 @@ def main():
     ]
     for order, anyhit, pend in variants:
         o, d = rays[order]
-        fn = jax.jit(lambda o, d, t, a=anyhit, p=pend:
-                     poct.octree_intersect_pallas(o, d, t, packed,
+        fn = jax.jit(lambda o, d, t, pk, a=anyhit, p=pend:
+                     poct.octree_intersect_pallas(o, d, t, pk,
                                                   anyhit=a, pend_size=p))
         t0 = time.perf_counter()
-        out = fn(o, d, t_max)
+        out = fn(o, d, t_max, packed)
         out[0].block_until_ready()
         compile_dt = time.perf_counter() - t0
         t0 = time.perf_counter()
         for _ in range(args.reps):
-            out = fn(o, d, t_max)
+            out = fn(o, d, t_max, packed)
         out[0].block_until_ready()
         dt = (time.perf_counter() - t0) / args.reps
         print(json.dumps({

@@ -68,7 +68,8 @@ class Scene:
     @classmethod
     def build(cls, materials, lights, spheres=None, cylinders=None,
               disks=None, mesh=None, use_octree=True, texture_rgb=None,
-              backface_cull_dir=None, use_pallas=False):
+              backface_cull_dir=None, use_pallas=False,
+              octree_capacity=None):
         """Host-side scene assembly. Shape dicts carry a `material` index.
 
         texture_rgb: (H, W, 3) linear RGB image — pre-converted to sigmoid
@@ -97,7 +98,10 @@ class Scene:
                 tri_mask = trimod.compute_backface_mask(mesh_data,
                                                         backface_cull_dir)
             if use_octree:
-                tree, packed = octmod.build_octree(mesh_data, pack=True,
+                cap = (octree_capacity if octree_capacity is not None
+                       else octmod.TRIANGLE_CAPACITY)
+                tree, packed = octmod.build_octree(mesh_data, capacity=cap,
+                                                   pack=True,
                                                    tri_mask=tri_mask)
             mesh = mesh_data
 
@@ -115,11 +119,12 @@ class Scene:
                else LightTable.build(lights))
 
         # Static world radius (host-side, at build time): conservative bound
-        # used for "infinite" distant/ambient shadow rays.
+        # used for "infinite" distant/ambient shadow rays. Uses the host
+        # mesh stash — device scalar readbacks are slow on remote TPUs.
         r = 1.0
         if mesh is not None:
-            lo, hi = mesh.bounds()
-            r = max(r, float(jnp.max(jnp.abs(lo))), float(jnp.max(jnp.abs(hi))))
+            pos_np, _ = octmod.host_mesh_arrays(mesh)
+            r = max(r, float(np.abs(pos_np).max()))
         for t in (sph, cyl, dsk):
             if t is not None:
                 r = max(r, float(jnp.max(jnp.abs(t.o2w[:, :3, 3]))) +

@@ -225,21 +225,25 @@ def build_octree(mesh: trimod.MeshData, capacity=TRIANGLE_CAPACITY,
 
     The whole pipeline (build + oversized-leaf split + kernel packing) stays
     in host NumPy and uploads each tensor to the device exactly ONCE —
-    device->host readbacks are pathologically slow on remote-attached TPUs.
-    Heavy packed tensors (pre-gathered leaf vertices) are materialized ON
-    DEVICE from the compact id tables (pallas_octree.pack_from_numpy)."""
+    device->host readbacks are pathologically slow on remote-attached TPUs
+    (MeshData.build stashes host copies as ``mesh._host`` for exactly this
+    reason). Heavy packed tensors (pre-gathered leaf vertices) are
+    materialized ON DEVICE from the compact id tables
+    (pallas_octree.pack_from_numpy)."""
+    pos_np, idx_np = host_mesh_arrays(mesh)
     if padding is None:
-        pos = np.asarray(mesh.positions)
         padding = CHILD_PADDING_FRAC * float(
-            (pos.max(axis=0) - pos.min(axis=0)).max())
+            (pos_np.max(axis=0) - pos_np.min(axis=0)).max())
     tree = None
     if backend in ("auto", "native"):
-        tree = _build_octree_native(mesh, capacity, max_depth, padding)
+        tree = _build_octree_native(pos_np, idx_np, capacity, max_depth,
+                                    padding)
         if tree is None and backend == "native":
             raise RuntimeError("native octree builder unavailable "
                                "(g++ compile failed?)")
     if tree is None:
-        tree = _build_octree_numpy(mesh, capacity, max_depth, padding)
+        tree = _build_octree_numpy(pos_np, idx_np, capacity, max_depth,
+                                   padding)
     tree_np = _split_oversized_leaves(tree, capacity)
     tree_dev = Octree(
         node_lo=jnp.asarray(tree_np.node_lo),
@@ -255,7 +259,18 @@ def build_octree(mesh: trimod.MeshData, capacity=TRIANGLE_CAPACITY,
     return tree_dev, packed
 
 
-def _build_octree_native(mesh, capacity, max_depth, padding):
+def host_mesh_arrays(mesh):
+    """(positions, indices) as host NumPy, using the build-time host stash
+    when present (avoids device->host readbacks; see MeshData.build)."""
+    host = getattr(mesh, "_host", None)
+    if host is not None:
+        return (np.asarray(host[0], np.float32),
+                np.asarray(host[1], np.int32))
+    return (np.asarray(mesh.positions, np.float32),
+            np.asarray(mesh.indices, np.int32))
+
+
+def _build_octree_native(pos_np, idx_np, capacity, max_depth, padding):
     """C++ builder (native/octree_builder.cpp) via ctypes; None if the
     native library can't be built/loaded."""
     import ctypes
@@ -264,8 +279,8 @@ def _build_octree_native(mesh, capacity, max_depth, padding):
     lib = native.load()
     if lib is None:
         return None
-    pos = np.ascontiguousarray(np.asarray(mesh.positions, np.float32))
-    idx = np.ascontiguousarray(np.asarray(mesh.indices, np.int32))
+    pos = np.ascontiguousarray(np.asarray(pos_np, np.float32))
+    idx = np.ascontiguousarray(np.asarray(idx_np, np.int32))
     out = native.CrtOctree()
     rc = lib.crt_build_octree(
         pos.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), pos.shape[0],
@@ -288,11 +303,11 @@ def _build_octree_native(mesh, capacity, max_depth, padding):
                   leaf_counts=leaf_counts)
 
 
-def _build_octree_numpy(mesh: trimod.MeshData, capacity=TRIANGLE_CAPACITY,
+def _build_octree_numpy(pos_np, idx_np, capacity=TRIANGLE_CAPACITY,
                         max_depth=MAX_DEPTH, padding=0.01):
     """Pure-NumPy reference builder (kept as fallback + test oracle)."""
-    pos = np.asarray(mesh.positions, np.float64)
-    idx = np.asarray(mesh.indices, np.int64)
+    pos = np.asarray(pos_np, np.float64)
+    idx = np.asarray(idx_np, np.int64)
     v0, v1, v2 = pos[idx[:, 0]], pos[idx[:, 1]], pos[idx[:, 2]]
 
     root_lo = pos.min(axis=0) - 1e-4

@@ -172,16 +172,22 @@ def pack_from_numpy(tree_np, mesh: trimod.MeshData, tri_mask=None):
     li, ci = np.nonzero(valid)
     row_tri_np[row_off[li] + ci] = leaf_tris[li, ci]
 
-    # device-side vertex gather (one upload of ids, no giant host array)
+    # device-side vertex gather (one upload of ids, no giant host array).
+    # ONE jitted call: eager op dispatches cost seconds each on
+    # remote-attached TPUs, so the ~6-op gather must be a single launch.
+    @jax.jit
+    def _gather_rows(row_tri, positions, indices):
+        tri = jnp.maximum(row_tri, 0)
+        i = indices[tri]                                # (rows, 3)
+        p = jnp.concatenate([positions[i[:, 0]],
+                             positions[i[:, 1]],
+                             positions[i[:, 2]]], axis=1)    # (rows, 9)
+        p = jnp.where((row_tri >= 0)[:, None], p, 0.0)
+        rows = jnp.zeros((row_tri.shape[0], VERT_COLS), jnp.float32)
+        return rows.at[:, :9].set(p)
+
     row_tri = jnp.asarray(row_tri_np)
-    tri = jnp.maximum(row_tri, 0)
-    i = mesh.indices[tri]                               # (rows, 3)
-    p = jnp.concatenate([mesh.positions[i[:, 0]],
-                         mesh.positions[i[:, 1]],
-                         mesh.positions[i[:, 2]]], axis=1)   # (rows, 9)
-    p = jnp.where((row_tri >= 0)[:, None], p, 0.0)
-    rows = jnp.zeros((total_rows, VERT_COLS), jnp.float32)
-    rows = rows.at[:, :9].set(p)
+    rows = _gather_rows(row_tri, mesh.positions, mesh.indices)
     return PackedOctree(jnp.asarray(nodes), rows, row_tri, cap)
 
 
@@ -191,8 +197,8 @@ def pack_octree(tree: octmod.Octree, mesh: trimod.MeshData, tri_mask=None):
     return pack_from_numpy(tree, mesh, tri_mask)
 
 
-def _traverse_kernel(cap, anyhit, pend_size, skip_leaf, ox, oy, oz,
-                     dx, dy, dz, tmax,
+def _traverse_kernel(cap, anyhit, pend_size, skip_leaf, frustum,
+                     ox, oy, oz, dx, dy, dz, tmax,
                      nodes, verts,
                      t_out, row_out, b1_out, b2_out, cnt_out, pop_out,
                      stack, pend, vbuf, sem):
@@ -216,6 +222,42 @@ def _traverse_kernel(cap, anyhit, pend_size, skip_leaf, ox, oy, oz,
               + (jnp.sum((d[2] < 0).astype(jnp.float32)) > half).astype(jnp.int32))
 
     stack[0] = jnp.int32(0)            # root pre-pushed
+
+    if frustum:
+        # Packet frustum hull (scalars). The walk only ever consumes the
+        # packet-OR of the per-ray slab test, so a conservative interval
+        # test over [o_lo,o_hi] x [inv_lo,inv_hi] replaces the 8 vector
+        # (8,128) slab tests per pop with ~70 scalar-unit ops per child.
+        # False positives (interval slack) only add node visits — never
+        # wrong results; camera/octant-sorted packets are tight frustums.
+        o_lo = tuple(jnp.min(v) for v in o)
+        o_hi = tuple(jnp.max(v) for v in o)
+        inv_lo = tuple(jnp.min(v) for v in inv)
+        inv_hi = tuple(jnp.max(v) for v in inv)
+
+        def child_hit_frustum(row, base, tb_max):
+            tn_lb = jnp.float32(-jnp.inf)
+            tf_ub = jnp.float32(jnp.inf)
+            for a in range(3):
+                lo_a = row[0, base + a]
+                hi_a = row[0, base + 3 + a]
+                a0 = lo_a - o_hi[a]
+                a1 = lo_a - o_lo[a]
+                b0 = hi_a - o_hi[a]
+                b1 = hi_a - o_lo[a]
+                i0, i1 = inv_lo[a], inv_hi[a]
+                s0l = jnp.minimum(jnp.minimum(a0 * i0, a0 * i1),
+                                  jnp.minimum(a1 * i0, a1 * i1))
+                s0h = jnp.maximum(jnp.maximum(a0 * i0, a0 * i1),
+                                  jnp.maximum(a1 * i0, a1 * i1))
+                s1l = jnp.minimum(jnp.minimum(b0 * i0, b0 * i1),
+                                  jnp.minimum(b1 * i0, b1 * i1))
+                s1h = jnp.maximum(jnp.maximum(b0 * i0, b0 * i1),
+                                  jnp.maximum(b1 * i0, b1 * i1))
+                tn_lb = jnp.maximum(tn_lb, jnp.minimum(s0l, s1l))
+                tf_ub = jnp.minimum(tf_ub, jnp.maximum(s0h, s1h))
+            tf_ub = tf_ub * g3
+            return (tn_lb <= tf_ub) & (tf_ub > 0.0) & (tn_lb < tb_max)
 
     # --- ray-only watertight-test precomputation (hoisted out of the leaf
     # loop): permutation masks, permuted direction, shear coefficients.
@@ -329,6 +371,8 @@ def _traverse_kernel(cap, anyhit, pend_size, skip_leaf, ox, oy, oz,
             sp, npend = c[0], c[1]
             return (sp > 0) & (npend <= pend_size - 8 * cpl)
 
+        tb_max = jnp.max(t_best) if frustum else None
+
         def walk_body(c):
             sp, npend, pops, t_best = c
             sp = sp - 1
@@ -347,20 +391,23 @@ def _traverse_kernel(cap, anyhit, pend_size, skip_leaf, ox, oy, oz,
             pushed = jnp.bool_(False)
             for j in range(8):
                 base = j * NODE_LANES
-                t0x = (row[0, base + 0] - o[0]) * inv[0]
-                t0y = (row[0, base + 1] - o[1]) * inv[1]
-                t0z = (row[0, base + 2] - o[2]) * inv[2]
-                t1x = (row[0, base + 3] - o[0]) * inv[0]
-                t1y = (row[0, base + 4] - o[1]) * inv[1]
-                t1z = (row[0, base + 5] - o[2]) * inv[2]
-                tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                             jnp.minimum(t0y, t1y)),
-                                 jnp.minimum(t0z, t1z))
-                tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                             jnp.maximum(t0y, t1y)),
-                                 jnp.maximum(t0z, t1z)) * g3
-                active = (tn <= tf) & (tf > 0.0) & (tn < t_best)
-                any_hit = jnp.any(active) & valid
+                if frustum:
+                    any_hit = child_hit_frustum(row, base, tb_max) & valid
+                else:
+                    t0x = (row[0, base + 0] - o[0]) * inv[0]
+                    t0y = (row[0, base + 1] - o[1]) * inv[1]
+                    t0z = (row[0, base + 2] - o[2]) * inv[2]
+                    t1x = (row[0, base + 3] - o[0]) * inv[0]
+                    t1y = (row[0, base + 4] - o[1]) * inv[1]
+                    t1z = (row[0, base + 5] - o[2]) * inv[2]
+                    tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                                 jnp.minimum(t0y, t1y)),
+                                     jnp.minimum(t0z, t1z))
+                    tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                                 jnp.maximum(t0y, t1y)),
+                                     jnp.maximum(t0z, t1z)) * g3
+                    active = (tn <= tf) & (tf > 0.0) & (tn < t_best)
+                    any_hit = jnp.any(active) & valid
 
                 child_g = row[0, base + 6].astype(jnp.int32)
                 cnt = row[0, base + 8].astype(jnp.int32)
@@ -435,18 +482,18 @@ def _traverse_kernel(cap, anyhit, pend_size, skip_leaf, ox, oy, oz,
     pop_out[:] = jnp.broadcast_to(pops, (RAY_SUB, RAY_LANES))
 
 
-@functools.partial(jax.custom_jvp, nondiff_argnums=(3, 4, 5, 6, 7))
+@functools.partial(jax.custom_jvp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
 def _octree_pallas(rays, nodes, verts, cap, interpret, anyhit=False,
-                   pend_size=PEND_SIZE, skip_leaf=False):
+                   pend_size=PEND_SIZE, skip_leaf=False, frustum=True):
     return _octree_pallas_impl(rays, nodes, verts, cap, interpret, anyhit,
-                               pend_size, skip_leaf)
+                               pend_size, skip_leaf, frustum)
 
 
 @_octree_pallas.defjvp
 def _octree_pallas_jvp(cap, interpret, anyhit, pend_size, skip_leaf,
-                       primals, tangents):
+                       frustum, primals, tangents):
     out = _octree_pallas(*primals, cap, interpret, anyhit, pend_size,
-                         skip_leaf)
+                         skip_leaf, frustum)
     zeros = tuple(
         np.zeros(o.shape, jax.dtypes.float0)
         if jnp.issubdtype(o.dtype, jnp.integer) else jnp.zeros_like(o)
@@ -455,7 +502,7 @@ def _octree_pallas_jvp(cap, interpret, anyhit, pend_size, skip_leaf,
 
 
 def _octree_pallas_impl(rays, nodes, verts, cap, interpret, anyhit,
-                        pend_size, skip_leaf=False):
+                        pend_size, skip_leaf=False, frustum=True):
     grid = (rays.shape[1] // RAY_SUB,)
 
     ray_spec = pl.BlockSpec((1, RAY_SUB, RAY_LANES), lambda i: (0, i, 0),
@@ -481,7 +528,7 @@ def _octree_pallas_impl(rays, nodes, verts, cap, interpret, anyhit,
 
     kernel = pl.pallas_call(
         functools.partial(_traverse_kernel, cap, anyhit, pend_size,
-                          skip_leaf),
+                          skip_leaf, frustum),
         grid=grid,
         in_specs=[ray_spec] * 7 + [full(),
                                    pl.BlockSpec(memory_space=pl.ANY)],
@@ -514,7 +561,7 @@ def octree_anyhit_pallas(o, d, t_max, packed: PackedOctree, interpret=None):
 def octree_intersect_pallas(o, d, t_max, packed: PackedOctree,
                             interpret=None, anyhit=False,
                             pend_size=None, skip_leaf=False,
-                            return_stats=False):
+                            return_stats=False, frustum=True):
     """Drop-in for octree_traverse backed by the packet kernel. Returns
     (t, tri_idx, b1, b2, tri_tests) with the usual conventions (with
     anyhit=True, only ``tri_idx >= 0`` is meaningful).
@@ -549,7 +596,7 @@ def octree_intersect_pallas(o, d, t_max, packed: PackedOctree,
 
     t, row, b1, b2, cnt, pops = _octree_pallas(
         rays, packed.nodes, packed.leaf_verts, packed.cap, interpret,
-        anyhit, pend_size, skip_leaf)
+        anyhit, pend_size, skip_leaf, frustum)
 
     flat = lambda x: x.reshape(-1)[:n].reshape(batch_shape)
     t = flat(t)

@@ -83,9 +83,16 @@ class MeshData:
             bitangents = np.cross(normals, tangents)
         else:
             bitangents = np.asarray(bitangents, np.float32).reshape(-1, 3)
-        return cls(jnp.asarray(pos), jnp.asarray(normals), jnp.asarray(uvs),
-                   jnp.asarray(tangents), jnp.asarray(bitangents),
-                   jnp.asarray(idx))
+        obj = cls(jnp.asarray(pos), jnp.asarray(normals), jnp.asarray(uvs),
+                  jnp.asarray(tangents), jnp.asarray(bitangents),
+                  jnp.asarray(idx))
+        # Host copies for the octree builders: device->host readbacks are
+        # pathologically slow on remote-attached TPUs (minutes for a
+        # dragon-class mesh), so build-time consumers use these instead.
+        # A plain attribute, NOT part of the pytree — instances that have
+        # round-tripped through jit lose it and callers must fall back.
+        obj._host = (pos, idx)
+        return obj
 
     @property
     def n_triangles(self):

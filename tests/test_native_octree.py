@@ -21,8 +21,10 @@ def _sphere_mesh(n=24):
 @needs_native
 def test_native_tree_equals_numpy_tree():
     mesh = _sphere_mesh(20)
-    t_np = octmod._build_octree_numpy(mesh, padding=0.002)
-    t_cc = octmod._build_octree_native(mesh, octmod.TRIANGLE_CAPACITY,
+    pos_np, idx_np = octmod.host_mesh_arrays(mesh)
+    t_np = octmod._build_octree_numpy(pos_np, idx_np, padding=0.002)
+    t_cc = octmod._build_octree_native(pos_np, idx_np,
+                                       octmod.TRIANGLE_CAPACITY,
                                        octmod.MAX_DEPTH, 0.002)
     assert t_cc is not None
     np.testing.assert_array_equal(np.asarray(t_np.node_child0),

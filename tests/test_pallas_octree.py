@@ -119,3 +119,24 @@ def test_scene_uses_packet_kernel_when_forced():
                                np.asarray(si_j.t)[m], rtol=1e-5)
     np.testing.assert_allclose(np.asarray(si_p.n)[m],
                                np.asarray(si_j.n)[m], atol=1e-4)
+
+
+def test_frustum_walk_matches_vector_walk():
+    """The scalar interval-frustum walk may only ADD node visits (it is a
+    conservative superset of the per-ray packet-OR); hits must be
+    identical to the precise vector-walk kernel."""
+    v, f, uv = mesh_gen.displaced_icosphere(3)
+    mesh = trimod.MeshData.build(v, f, uvs=uv)
+    tree = octmod.build_octree(mesh)
+    packed = poct.pack_octree(tree, mesh)
+    o, d = _camera_rays(40)
+    tmax = jnp.full((o.shape[0],), jnp.inf)
+
+    out_f = poct.octree_intersect_pallas(o, d, tmax, packed,
+                                         interpret=True, frustum=True)
+    out_v = poct.octree_intersect_pallas(o, d, tmax, packed,
+                                         interpret=True, frustum=False)
+    np.testing.assert_array_equal(np.asarray(out_f[1]), np.asarray(out_v[1]))
+    m = np.isfinite(np.asarray(out_f[0]))
+    np.testing.assert_allclose(np.asarray(out_f[0])[m],
+                               np.asarray(out_v[0])[m], rtol=1e-6)
