@@ -140,7 +140,9 @@ def bench_dragon():
     subdiv = _env("BENCH_MESH_SUBDIV", 7)
     res = _env("BENCH_MESH_RES", 512)
     spp = _env("BENCH_MESH_SPP", 4)
-    cap = _env("BENCH_MESH_CAP", 16)
+    # cap 40: best measured closest-hit rate in the committed sweep
+    # (benchmarks/profile_octree*.json: 2.26M rays/s vs 1.08M at cap 16).
+    cap = _env("BENCH_MESH_CAP", 40)
 
     t0 = time.perf_counter()
     scene = _dragon_scene(subdiv, cap)
@@ -206,7 +208,7 @@ def bench_flagship(dragon_scene=None):
     scene = dragon_scene
     if scene is None:
         scene = _dragon_scene(_env("BENCH_MESH_SUBDIV", 7),
-                              _env("BENCH_MESH_CAP", 16))
+                              _env("BENCH_MESH_CAP", 40))
     # texture the dragon (uvmap.png analog: procedural checker through the
     # rgb2spec sigmoid table) and light it like the reference scene
     tex = mesh_gen.checker_texture(256)
@@ -225,14 +227,20 @@ def bench_flagship(dragon_scene=None):
         sampler=integ.SamplerConfig(kind="stratified", spp=max(spp, 4),
                                     xs=2, ys=2),
         integrator="path", max_depth=depth,
-        filter_name="gaussian", filter_radius=(0.5, 0.5))
+        filter_name="gaussian", filter_radius=(0.5, 0.5),
+        compact=True, compact_quantum=8192)
     filter_obj = integ.make_filter(cfg)
     sensor = integ.make_sensor(cfg)
 
-    @jax.jit
+    # Compacted wavefront (render_pass_compact): bounce rays are gathered
+    # alive-first sorted by direction octant each depth, which is what
+    # keeps the packet octree kernel's frustums coherent for secondary
+    # rays — an unsorted full-wavefront bounce loop makes every packet
+    # visit most of the tree (and one giant multi-bounce XLA program at
+    # 512x512 trips the device watchdog).
     def one_pass(scene, sample_idx):
-        return integ.render_pass(scene, camera, cfg, filter_obj, sensor,
-                                 sample_idx)
+        return integ.render_pass_compact(scene, camera, cfg, filter_obj,
+                                         sensor, sample_idx)
 
     t0 = time.perf_counter()
     rgb, wt = one_pass(scene, jnp.uint32(0))

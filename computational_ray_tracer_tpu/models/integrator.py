@@ -536,10 +536,26 @@ def _compact_fns(cfg: RenderConfig, mode: str, camera, filter_obj, sensor):
         return jnp.sum(alive.astype(jnp.int32))
 
     @partial(jax.jit, static_argnames=("bucket",))
-    def select(alive, d, bucket):
+    def select(alive, d, o, bucket):
+        # Packet coherence for the octree kernel needs BOTH direction and
+        # origin locality: its walk prunes with a per-packet frustum hull
+        # [o_lo,o_hi] x [inv_lo,inv_hi], so a packet of same-octant rays
+        # scattered across the scene still visits most of the tree. Sort
+        # key = (alive, direction octant, 8^3 Morton cell of the origin).
         octant = ((d[..., 0] < 0) * 4 + (d[..., 1] < 0) * 2
                   + (d[..., 2] < 0)).astype(jnp.int32)
-        key = jnp.where(alive, octant, jnp.int32(8))
+        lo = jnp.min(jnp.where(alive[..., None], o, jnp.inf), axis=0)
+        hi = jnp.max(jnp.where(alive[..., None], o, -jnp.inf), axis=0)
+        q = jnp.clip(((o - lo) / jnp.maximum(hi - lo, 1e-20) * 8.0)
+                     .astype(jnp.int32), 0, 7)
+
+        def spread3(v):     # 3-bit -> every 3rd bit (Morton interleave)
+            v = (v | (v << 4)) & 0x0C3
+            return (v | (v << 2)) & 0x249
+
+        morton = spread3(q[..., 0]) | (spread3(q[..., 1]) << 1) \
+            | (spread3(q[..., 2]) << 2)
+        key = jnp.where(alive, octant * 512 + morton, jnp.int32(1 << 14))
         return jnp.argsort(key, stable=True)[:bucket]
 
     @jax.jit
@@ -602,7 +618,7 @@ def render_pass_compact(scene, camera, cfg: RenderConfig, filter_obj,
             state = bounce_sub(scene, state, jnp.uint32(depth), pixel,
                                jnp.uint32(sample_idx))
         else:
-            idx = select(state["alive"], state["d"], bucket)
+            idx = select(state["alive"], state["d"], state["o"], bucket)
             sub, pixel_sub = gather(state, pixel, idx)
             sub_new = bounce_sub(scene, sub, jnp.uint32(depth), pixel_sub,
                                  jnp.uint32(sample_idx))

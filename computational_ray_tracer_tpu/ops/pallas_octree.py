@@ -57,11 +57,19 @@ RAY_SUB = 8            # sublanes of the ray tile
 RAY_LANES = 128        # lanes of the ray tile
 TILE_R = RAY_SUB * RAY_LANES
 STACK_SIZE = 256       # 8 * depth + slack (depth <= ~24 incl. chain splits)
-CHUNK = 8              # leaf rows per pending entry (sublane tile)
+# Leaf rows per pending entry. 8 = one sublane tile; 16 halves the DMA
+# count per leaf at identical padding for caps >= 16 whose leaves already
+# round to 16 rows (each DMA is tiny — CHUNK*512B — so per-transfer
+# overhead, not bandwidth, is what the leaf phase pays). Env override so
+# sweeps can compare; pack layout and kernel must agree (module-level).
+CHUNK = int(os.environ.get("CRT_CHUNK", "8"))
 # Pending-CHUNK queue length between walk phases. Small: t_best tightens
 # after only a few (front-to-back ordered) chunks, pruning far subtrees the
 # walk would otherwise visit. Env override for sweeps.
 PEND_SIZE = int(os.environ.get("CRT_PEND_SIZE", "64"))
+# Leaf-DMA pipeline depth (scratch slots). 2 = classic double buffer; more
+# slots keep several small in-flight copies hiding per-DMA issue latency.
+DMA_SLOTS = int(os.environ.get("CRT_DMA_SLOTS", "2"))
 # Leaf row width. Mosaic tiles HBM arrays to 128 lanes and requires DMA
 # slices lane-aligned to 128, so rows are padded to one full lane tile
 # (9 vertex floats + pad). Capacity cost only — DMA bandwidth per leaf is
@@ -197,12 +205,12 @@ def pack_octree(tree: octmod.Octree, mesh: trimod.MeshData, tri_mask=None):
     return pack_from_numpy(tree, mesh, tri_mask)
 
 
-def _traverse_kernel(cap, anyhit, pend_size, skip_leaf, frustum,
+def _traverse_kernel(cap, anyhit, pend_size, skip_leaf, frustum, ray_sub,
                      ox, oy, oz, dx, dy, dz, tmax,
                      nodes, verts,
                      t_out, row_out, b1_out, b2_out, cnt_out, pop_out,
                      stack, pend, vbuf, sem):
-    o = (ox[0], oy[0], oz[0])          # (8, 128) each (blocks are (1,8,128))
+    o = (ox[0], oy[0], oz[0])     # (ray_sub, 128) each (blocks (1,rs,128))
     d = (dx[0], dy[0], dz[0])
     tmax = tmax[0]
     if anyhit:
@@ -216,7 +224,7 @@ def _traverse_kernel(cap, anyhit, pend_size, skip_leaf, frustum,
     g3 = 1.0 + 2.0 * _gamma(3)
 
     # Packet octant = majority direction sign per axis (scalars).
-    half = jnp.float32(TILE_R // 2)
+    half = jnp.float32(ray_sub * RAY_LANES // 2)
     octant = ((jnp.sum((d[0] < 0).astype(jnp.float32)) > half).astype(jnp.int32) * 4
               + (jnp.sum((d[1] < 0).astype(jnp.float32)) > half).astype(jnp.int32) * 2
               + (jnp.sum((d[2] < 0).astype(jnp.float32)) > half).astype(jnp.int32))
@@ -261,9 +269,21 @@ def _traverse_kernel(cap, anyhit, pend_size, skip_leaf, frustum,
 
     # --- ray-only watertight-test precomputation (hoisted out of the leaf
     # loop): permutation masks, permuted direction, shear coefficients.
+    # Layouts by packet shape: ray_sub > 1 tests chunks as (CHUNK, rs, 128)
+    # (tris on the sequential leading axis, rays on the (rs,128) tile);
+    # ray_sub == 1 folds the CHUNK triangles onto the SUBLANE axis instead
+    # — (CHUNK, 128) — so one chunk test is ONE full vector tile rather
+    # than CHUNK partial (1,128) ops. Narrow packets exist for incoherent
+    # (bounce) rays, where per-ray traversal cost scales with packet size.
+    if ray_sub == 1:
+        rexp = lambda v: v                       # (1, 128): tri-major 2D
+        col_shape = (CHUNK, 1)
+    else:
+        rexp = lambda v: v[None]                 # (1, rs, 128)
+        col_shape = (CHUNK, 1, 1)
     adx, ady, adz = (jnp.abs(d[0]), jnp.abs(d[1]), jnp.abs(d[2]))
-    kz_x = ((adx >= ady) & (adx >= adz))[None]
-    kz_y = ((~kz_x[0]) & (ady >= adz))[None]
+    kz_x = rexp((adx >= ady) & (adx >= adz))
+    kz_y = rexp((~((adx >= ady) & (adx >= adz))) & (ady >= adz))
 
     def perm(vx, vy, vz):
         pz = jnp.where(kz_x, vx, jnp.where(kz_y, vy, vz))
@@ -271,13 +291,13 @@ def _traverse_kernel(cap, anyhit, pend_size, skip_leaf, frustum,
         py = jnp.where(kz_x, vz, jnp.where(kz_y, vx, vy))
         return px, py, pz
 
-    dxp, dyp, dzp = perm(d[0][None], d[1][None], d[2][None])
+    dxp, dyp, dzp = perm(rexp(d[0]), rexp(d[1]), rexp(d[2]))
     inv_dz = 1.0 / dzp
     sx = -dxp * inv_dz
     sy = -dyp * inv_dz
-    oxe = o[0][None]                        # (1, 8, 128)
-    oye = o[1][None]
-    oze = o[2][None]
+    oxe = rexp(o[0])
+    oye = rexp(o[1])
+    oze = rexp(o[2])
 
     def leaf_dma(i, slot):
         off = pend[i]
@@ -287,7 +307,7 @@ def _traverse_kernel(cap, anyhit, pend_size, skip_leaf, frustum,
     def leaf_test(slot, off, carry):
         t_best, row_b, b1_b, b2_b = carry
         buf = vbuf[slot]                       # (CHUNK, VERT_COLS)
-        col = lambda j: buf[:, j].reshape(CHUNK, 1, 1)
+        col = lambda j: buf[:, j].reshape(col_shape)
         # translate to ray origin; tris (CHUNK,1,1) x rays (1,8,128)
         v0 = (col(0) - oxe, col(1) - oye, col(2) - oze)
         v1 = (col(3) - oxe, col(4) - oye, col(5) - oze)
@@ -318,7 +338,8 @@ def _traverse_kernel(cap, anyhit, pend_size, skip_leaf, frustum,
         t_scaled = e0 * az_s + e1 * bz_s + e2 * cz_s
         ts = jnp.where(det < 0, -t_scaled, t_scaled)
         dd = jnp.abs(det)
-        in_range = (ts > 0.0) & (ts < t_best[None] * dd)
+        tb = t_best if ray_sub == 1 else t_best[None]
+        in_range = (ts > 0.0) & (ts < tb * dd)
 
         inv_det = 1.0 / jnp.where(nonzero, det, 1.0)
         t = t_scaled * inv_det
@@ -436,18 +457,22 @@ def _traverse_kernel(cap, anyhit, pend_size, skip_leaf, frustum,
         sp, npend, pops, t_best = jax.lax.while_loop(
             walk_cond, walk_body, (sp, jnp.int32(0), pops, t_best))
 
-        # ---- leaf phase: stream pending chunks, double-buffered DMA
+        # ---- leaf phase: stream pending chunks, DMA_SLOTS-deep pipeline
+        # (per-transfer issue latency of the small CHUNK-row copies is the
+        # cost being hidden, so several must stay in flight).
         if not skip_leaf:
-            @pl.when(npend > 0)
-            def _():
-                leaf_dma(0, 0).start()
+            for s in range(DMA_SLOTS - 1):
+                @pl.when(s < npend)
+                def _(s=s):
+                    leaf_dma(s, s).start()
 
             def flush_body(i, carry):
-                slot = jax.lax.rem(i, 2)
+                slot = jax.lax.rem(i, DMA_SLOTS)
+                nxt = i + DMA_SLOTS - 1
 
-                @pl.when(i + 1 < npend)
+                @pl.when(nxt < npend)
                 def _():
-                    leaf_dma(i + 1, jax.lax.rem(i + 1, 2)).start()
+                    leaf_dma(nxt, jax.lax.rem(nxt, DMA_SLOTS)).start()
 
                 leaf_dma(i, slot).wait()
                 return leaf_test(slot, pend[i], carry)
@@ -468,9 +493,9 @@ def _traverse_kernel(cap, anyhit, pend_size, skip_leaf, frustum,
         return state[0] > 0
 
     init = (jnp.int32(1), jnp.int32(0), jnp.int32(0), tmax,
-            jnp.full((RAY_SUB, RAY_LANES), -1, jnp.int32),
-            jnp.zeros((RAY_SUB, RAY_LANES), jnp.float32),
-            jnp.zeros((RAY_SUB, RAY_LANES), jnp.float32))
+            jnp.full((ray_sub, RAY_LANES), -1, jnp.int32),
+            jnp.zeros((ray_sub, RAY_LANES), jnp.float32),
+            jnp.zeros((ray_sub, RAY_LANES), jnp.float32))
     sp, tests, pops, t_best, row_b, b1_b, b2_b = jax.lax.while_loop(
         outer_cond, outer_body, init)
 
@@ -478,22 +503,23 @@ def _traverse_kernel(cap, anyhit, pend_size, skip_leaf, frustum,
     row_out[:] = row_b
     b1_out[:] = b1_b
     b2_out[:] = b2_b
-    cnt_out[:] = jnp.broadcast_to(tests, (RAY_SUB, RAY_LANES))
-    pop_out[:] = jnp.broadcast_to(pops, (RAY_SUB, RAY_LANES))
+    cnt_out[:] = jnp.broadcast_to(tests, (ray_sub, RAY_LANES))
+    pop_out[:] = jnp.broadcast_to(pops, (ray_sub, RAY_LANES))
 
 
-@functools.partial(jax.custom_jvp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+@functools.partial(jax.custom_jvp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
 def _octree_pallas(rays, nodes, verts, cap, interpret, anyhit=False,
-                   pend_size=PEND_SIZE, skip_leaf=False, frustum=True):
+                   pend_size=PEND_SIZE, skip_leaf=False, frustum=True,
+                   ray_sub=RAY_SUB):
     return _octree_pallas_impl(rays, nodes, verts, cap, interpret, anyhit,
-                               pend_size, skip_leaf, frustum)
+                               pend_size, skip_leaf, frustum, ray_sub)
 
 
 @_octree_pallas.defjvp
 def _octree_pallas_jvp(cap, interpret, anyhit, pend_size, skip_leaf,
-                       frustum, primals, tangents):
+                       frustum, ray_sub, primals, tangents):
     out = _octree_pallas(*primals, cap, interpret, anyhit, pend_size,
-                         skip_leaf, frustum)
+                         skip_leaf, frustum, ray_sub)
     zeros = tuple(
         np.zeros(o.shape, jax.dtypes.float0)
         if jnp.issubdtype(o.dtype, jnp.integer) else jnp.zeros_like(o)
@@ -502,13 +528,14 @@ def _octree_pallas_jvp(cap, interpret, anyhit, pend_size, skip_leaf,
 
 
 def _octree_pallas_impl(rays, nodes, verts, cap, interpret, anyhit,
-                        pend_size, skip_leaf=False, frustum=True):
-    grid = (rays.shape[1] // RAY_SUB,)
+                        pend_size, skip_leaf=False, frustum=True,
+                        ray_sub=RAY_SUB):
+    grid = (rays.shape[1] // ray_sub,)
 
-    ray_spec = pl.BlockSpec((1, RAY_SUB, RAY_LANES), lambda i: (0, i, 0),
+    ray_spec = pl.BlockSpec((1, ray_sub, RAY_LANES), lambda i: (0, i, 0),
                             memory_space=pltpu.VMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((RAY_SUB, RAY_LANES), lambda i: (i, 0),
+    out_spec = pl.BlockSpec((ray_sub, RAY_LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     n_rows = rays.shape[1]
     out_shapes = (
@@ -528,7 +555,7 @@ def _octree_pallas_impl(rays, nodes, verts, cap, interpret, anyhit,
 
     kernel = pl.pallas_call(
         functools.partial(_traverse_kernel, cap, anyhit, pend_size,
-                          skip_leaf, frustum),
+                          skip_leaf, frustum, ray_sub),
         grid=grid,
         in_specs=[ray_spec] * 7 + [full(),
                                    pl.BlockSpec(memory_space=pl.ANY)],
@@ -537,8 +564,8 @@ def _octree_pallas_impl(rays, nodes, verts, cap, interpret, anyhit,
         scratch_shapes=[
             pltpu.SMEM((STACK_SIZE,), jnp.int32),
             pltpu.SMEM((pend_size,), jnp.int32),
-            pltpu.VMEM((2, CHUNK, VERT_COLS), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((DMA_SLOTS, CHUNK, VERT_COLS), jnp.float32),
+            pltpu.SemaphoreType.DMA((DMA_SLOTS,)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -549,19 +576,22 @@ def _octree_pallas_impl(rays, nodes, verts, cap, interpret, anyhit,
     return kernel(*args, nodes, verts)
 
 
-def octree_anyhit_pallas(o, d, t_max, packed: PackedOctree, interpret=None):
+def octree_anyhit_pallas(o, d, t_max, packed: PackedOctree, interpret=None,
+                         ray_sub=None):
     """Shadow-ray any-hit: True where ANY triangle lies in (0, t_max).
     Early-exits per ray (first hit poisons its t_best) and drains the stack
     once the whole packet is done — the IntersectP fast path."""
     t, tri, *_ = octree_intersect_pallas(o, d, t_max, packed,
-                                         interpret=interpret, anyhit=True)
+                                         interpret=interpret, anyhit=True,
+                                         ray_sub=ray_sub)
     return tri >= 0
 
 
 def octree_intersect_pallas(o, d, t_max, packed: PackedOctree,
                             interpret=None, anyhit=False,
                             pend_size=None, skip_leaf=False,
-                            return_stats=False, frustum=True):
+                            return_stats=False, frustum=True,
+                            ray_sub=None):
     """Drop-in for octree_traverse backed by the packet kernel. Returns
     (t, tri_idx, b1, b2, tri_tests) with the usual conventions (with
     anyhit=True, only ``tri_idx >= 0`` is meaningful).
@@ -570,18 +600,25 @@ def octree_intersect_pallas(o, d, t_max, packed: PackedOctree,
     walk-phase cost) alongside the triangle-test counts.
     skip_leaf (profiling only): run the walk phase but never stream/test
     leaf chunks — isolates walk cost (t never tightens, so this is an
-    UPPER bound on walk work; results are meaningless)."""
+    UPPER bound on walk work; results are meaningless).
+    ray_sub: packet height (packet = ray_sub x 128 rays). 8 for coherent
+    camera wavefronts; 1 gives narrow tri-major packets for incoherent
+    bounce rays (per-ray traversal cost scales with packet extent)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if pend_size is None:
         pend_size = PEND_SIZE
+    if ray_sub is None:
+        ray_sub = RAY_SUB
+    assert RAY_SUB % ray_sub == 0
     cpl = (packed.cap + CHUNK - 1) // CHUNK
     assert pend_size > 8 * cpl, (
         f"pend_size={pend_size} cannot hold one walk step's worst-case "
         f"8 leaves x {cpl} chunks — the walk loop would never admit a pop")
     batch_shape = o.shape[:-1]
     n = int(np.prod(batch_shape)) if batch_shape else 1
-    n_pad = -(-n // TILE_R) * TILE_R
+    tile_r = ray_sub * RAY_LANES
+    n_pad = -(-n // tile_r) * tile_r
 
     o2 = o.reshape(-1, 3)
     d2 = d.reshape(-1, 3)
@@ -596,7 +633,7 @@ def octree_intersect_pallas(o, d, t_max, packed: PackedOctree,
 
     t, row, b1, b2, cnt, pops = _octree_pallas(
         rays, packed.nodes, packed.leaf_verts, packed.cap, interpret,
-        anyhit, pend_size, skip_leaf, frustum)
+        anyhit, pend_size, skip_leaf, frustum, ray_sub)
 
     flat = lambda x: x.reshape(-1)[:n].reshape(batch_shape)
     t = flat(t)
