@@ -189,12 +189,16 @@ def li_direct(scene, o, d, wl, pixel, sample_idx, cfg):
     return L + contrib
 
 
-def _bounce_step(scene, cfg, mode, state, depth, pixel, sample_idx):
+def _bounce_step(scene, cfg, mode, state, depth, pixel, sample_idx,
+                 coherent=True):
     """One bounce of the wavefront path loop, on whatever ray set ``state``
     holds (the full wavefront under lax.scan, or a compacted alive-only
     bucket under the host-driven loop). Every random decision inside is a
     pure function of (seed, pixel, sample_idx, dim(depth)) — the ray set
     membership cannot change any sample value (determinism contract).
+
+    ``coherent`` (static): camera-coherent wavefront hint, forwarded to the
+    packet octree kernel (bounce depths use narrow incoherent packets).
 
     ``state`` carries per-ray: o, d, beta, L, alive, specular, pdf_prev,
     n_prev, lam (hero wavelengths), lam_pdf. Returns (new_state,
@@ -214,7 +218,7 @@ def _bounce_step(scene, cfg, mode, state, depth, pixel, sample_idx):
         wl_cur = spec.SampledWavelengths(state["lam"], state["lam_pdf"])
 
         t_max = jnp.where(alive, jnp.inf, -1.0)
-        si, mid, _ = scene_intersect(scene, o, d, t_max)
+        si, mid, _ = scene_intersect(scene, o, d, t_max, coherent=coherent)
         hit = si.valid & alive
         mrow = mat.MaterialView.create(scene.materials, mid)
         tex = _tex_coeffs(scene, si)
@@ -268,7 +272,8 @@ def _bounce_step(scene, cfg, mode, state, depth, pixel, sample_idx):
                                      eta_k=(eta_s, k_s),
                                      enable_rough=scene.has_rough)
             cos_l = jnp.maximum(jnp.sum(wi_l * si.n, axis=-1), 0.0)
-            occ = scene_occluded(scene, si.p, wi_l, dist, eps_h, n=si.n)
+            occ = scene_occluded(scene, si.p, wi_l, dist, eps_h, n=si.n,
+                                 coherent=coherent)
             nee = beta * f * li_val * (cos_l / jnp.maximum(pdf_l, 1e-12))[..., None]
             if use_mis:
                 # Delta lights (point/distant) can't be BSDF-sampled: w=1.
@@ -563,10 +568,10 @@ def _compact_fns(cfg: RenderConfig, mode: str, camera, filter_obj, sensor):
         sub = jax.tree_util.tree_map(lambda a: a[idx], state)
         return sub, pixel[idx]
 
-    @jax.jit
-    def bounce_sub(scene, sub, depth, pixel_sub, sample_idx):
+    @partial(jax.jit, static_argnames=("coherent",))
+    def bounce_sub(scene, sub, depth, pixel_sub, sample_idx, coherent):
         new, _ = _bounce_step(scene, cfg, mode, sub, depth, pixel_sub,
-                              sample_idx)
+                              sample_idx, coherent=coherent)
         return new
 
     @jax.jit
@@ -613,15 +618,16 @@ def render_pass_compact(scene, camera, cfg: RenderConfig, filter_obj,
         k = int(count_alive(state["alive"]))            # host sync
         if k == 0:
             break
+        coh = depth == 0        # camera wavefront vs incoherent bounces
         bucket = min(n, -(-k // q) * q)
         if bucket >= n:
             state = bounce_sub(scene, state, jnp.uint32(depth), pixel,
-                               jnp.uint32(sample_idx))
+                               jnp.uint32(sample_idx), coherent=coh)
         else:
             idx = select(state["alive"], state["d"], state["o"], bucket)
             sub, pixel_sub = gather(state, pixel, idx)
             sub_new = bounce_sub(scene, sub, jnp.uint32(depth), pixel_sub,
-                                 jnp.uint32(sample_idx))
+                                 jnp.uint32(sample_idx), coherent=coh)
             state = scatter(state, sub_new, idx)
     return epilogue(state, fw)
 

@@ -16,6 +16,7 @@ with ``where`` masks. ``scene_occluded`` is the shadow-ray predicate
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Optional
 
 import numpy as np
@@ -154,12 +155,27 @@ def _use_packet_kernel(scene):
         jax.default_backend() == "tpu" or scene.use_pallas)
 
 
-def _mesh_closest_hit(scene, o, d, t_best):
+# Packet shape for INCOHERENT (bounce/shadow-at-depth) wavefronts: narrow
+# 1x128 packets with the exact vector walk. The frustum hull of a
+# mixed-direction packet is unboundedly loose, and per-ray traversal cost
+# scales with packet extent (measured: benchmarks/profile_octree_bounce.py).
+INCOH_RAY_SUB = int(os.environ.get("CRT_INCOH_RAY_SUB", "1"))
+INCOH_FRUSTUM = os.environ.get("CRT_INCOH_FRUSTUM", "0") == "1"
+
+
+def _packet_kwargs(coherent):
+    if coherent:
+        return {}
+    return {"ray_sub": INCOH_RAY_SUB, "frustum": INCOH_FRUSTUM}
+
+
+def _mesh_closest_hit(scene, o, d, t_best, coherent=True):
     if scene.octree is not None:
         if _use_packet_kernel(scene):
             from computational_ray_tracer_tpu.ops import pallas_octree
             return pallas_octree.octree_intersect_pallas(
-                o, d, t_best, scene.packed_octree)
+                o, d, t_best, scene.packed_octree,
+                **_packet_kwargs(coherent))
         return octmod.octree_traverse(
             o, d, t_best, scene.octree, scene.mesh, scene.tri_mask)
     if scene.use_pallas:
@@ -170,17 +186,19 @@ def _mesh_closest_hit(scene, o, d, t_best):
                                        scene.tri_mask)
 
 
-def scene_intersect(scene: Scene, o, d, t_max):
+def scene_intersect(scene: Scene, o, d, t_max, coherent=True):
     """Closest hit across all shape types.
 
+    ``coherent`` (static): whether the wavefront is camera-coherent —
+    picks the packet shape for the Pallas octree kernel.
     Returns (si: SurfaceInfo, mat_id (,...) int32, tri_tests (...,) int32).
     """
-    hit = scene_intersect_t(scene, o, d, t_max)
+    hit = scene_intersect_t(scene, o, d, t_max, coherent=coherent)
     si, mat_id = scene_surface(scene, o, d, hit)
     return si, mat_id, hit[5]
 
 
-def scene_intersect_t(scene: Scene, o, d, t_max):
+def scene_intersect_t(scene: Scene, o, d, t_max, coherent=True):
     """Hit-distance phase only: (t_best, type_best, idx_best, b1, b2,
     tri_tests). Lets the integrator batch continuation + shadow rays into
     ONE intersection launch and evaluate surface info only for the
@@ -214,7 +232,8 @@ def scene_intersect_t(scene: Scene, o, d, t_max):
         t_best, type_best, idx_best, _ = fold(t_all, TYPE_DISK, t_best,
                                               type_best, idx_best)
     if scene.mesh is not None:
-        tm, ti, mb1, mb2, tests = _mesh_closest_hit(scene, o, d, t_best)
+        tm, ti, mb1, mb2, tests = _mesh_closest_hit(scene, o, d, t_best,
+                                                    coherent=coherent)
         tri_tests = tri_tests + tests
         better = tm < t_best
         t_best = jnp.where(better, tm, t_best)
@@ -289,7 +308,7 @@ def _empty_surface(o, d, t):
         wo=-d, backface=jnp.zeros(o.shape[:-1], bool))
 
 
-def scene_anyhit(scene: Scene, o, d, t_max):
+def scene_anyhit(scene: Scene, o, d, t_max, coherent=True):
     """Boolean any-hit test (Shape::IntersectP capability): does ANY shape
     intersect in (0, t_max)? Skips all the closest-hit machinery the shadow
     ray doesn't need — no winner argmin, no surface-info gathers (~2x less
@@ -315,7 +334,8 @@ def scene_anyhit(scene: Scene, o, d, t_max):
         elif scene.octree is not None:
             from computational_ray_tracer_tpu.ops import pallas_octree
             hit = hit | pallas_octree.octree_anyhit_pallas(
-                o, d, t_m, scene.packed_octree)
+                o, d, t_m, scene.packed_octree,
+                **_packet_kwargs(coherent))
         elif scene.use_pallas:
             from computational_ray_tracer_tpu.ops import pallas_intersect
             tm, ti, *_ = pallas_intersect.mesh_intersect_pallas(
@@ -327,7 +347,8 @@ def scene_anyhit(scene: Scene, o, d, t_max):
     return hit
 
 
-def scene_occluded(scene: Scene, p, wi, dist, eps=1e-3, n=None):
+def scene_occluded(scene: Scene, p, wi, dist, eps=1e-3, n=None,
+                   coherent=True):
     """Shadow-ray predicate: is anything between p and p + wi*dist?
 
     ``eps`` may be per-ray (scale-aware spawn offsets, see
@@ -344,7 +365,7 @@ def scene_occluded(scene: Scene, p, wi, dist, eps=1e-3, n=None):
     # end the ray just short of the light: relative shrink (survives scene
     # scaling) plus the spawn offset
     t_max = dist * (1.0 - 1e-3) - eps
-    return scene_anyhit(scene, o, wi, t_max)
+    return scene_anyhit(scene, o, wi, t_max, coherent=coherent)
 
 
 def texture_lookup(texture, uv):

@@ -577,13 +577,13 @@ def _octree_pallas_impl(rays, nodes, verts, cap, interpret, anyhit,
 
 
 def octree_anyhit_pallas(o, d, t_max, packed: PackedOctree, interpret=None,
-                         ray_sub=None):
+                         ray_sub=None, frustum=True):
     """Shadow-ray any-hit: True where ANY triangle lies in (0, t_max).
     Early-exits per ray (first hit poisons its t_best) and drains the stack
     once the whole packet is done — the IntersectP fast path."""
     t, tri, *_ = octree_intersect_pallas(o, d, t_max, packed,
                                          interpret=interpret, anyhit=True,
-                                         ray_sub=ray_sub)
+                                         ray_sub=ray_sub, frustum=frustum)
     return tri >= 0
 
 
