@@ -111,28 +111,35 @@ def sample_light(table: LightTable, p, n, lam, u_light, u_pos,
     solid-angle-measure pdf including the 1/n_lights selection factor, and Li
     already folds the point-light 1/r² (Lights.h:5-8) and quad one-sidedness.
     """
+    from computational_ray_tracer_tpu.ops.numeric import select_rows
     nl = table.n_lights
     li = jnp.clip((jax.lax.stop_gradient(u_light) * nl).astype(jnp.int32),
                   0, nl - 1)
-    kind = table.kind[li]
+    # gather-free row selects (lights tables are tiny; per-ray gathers
+    # serialize on the TPU VPU)
+    kind = select_rows(table.kind, li)
+    pos_l = select_rows(table.position, li)
+    dir_l = select_rows(table.direction, li)
+    e1_l = select_rows(table.edge1, li)
+    e2_l = select_rows(table.edge2, li)
+    scale_l = select_rows(table.scale, li)
     spd_at = (spec.sample_dense_rows(table.spd, li, lam)
-              * table.scale[li][..., None])
+              * scale_l[..., None])
 
     # --- point
-    to_l = table.position[li] - p
+    to_l = pos_l - p
     dist2 = jnp.maximum(jnp.sum(to_l * to_l, axis=-1), 1e-12)
     dist_point = jnp.sqrt(dist2)
     wi_point = to_l / dist_point[..., None]
     li_point = spd_at / dist2[..., None]
 
     # --- distant (sun): radiance along -direction, "infinite" distance
-    wi_dist = -table.direction[li]
+    wi_dist = -dir_l
     li_dist = spd_at
 
     # --- quad area light: uniform point on parallelogram
-    qp = (table.position[li] + u_pos[..., 0:1] * table.edge1[li]
-          + u_pos[..., 1:2] * table.edge2[li])
-    qn = jnp.cross(table.edge1[li], table.edge2[li])
+    qp = (pos_l + u_pos[..., 0:1] * e1_l + u_pos[..., 1:2] * e2_l)
+    qn = jnp.cross(e1_l, e2_l)
     area = jnp.maximum(jnp.linalg.norm(qn, axis=-1), 1e-12)
     qn = qn / area[..., None]
     to_q = qp - p

@@ -242,6 +242,10 @@ def _gather(mat: MaterialTable, mid):
     return jax.tree_util.tree_map(lambda x: x[mid], mat)
 
 
+from computational_ray_tracer_tpu.ops.numeric import select_rows as \
+    _select_rows  # gather-free small-table row select (TPU)
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class MaterialView:
@@ -269,8 +273,10 @@ class MaterialView:
 
     @classmethod
     def create(cls, table: MaterialTable, mid):
-        return cls(table.kind[mid], table.albedo_coeffs[mid],
-                   table.use_texture[mid], table.roughness[mid],
+        return cls(_select_rows(table.kind, mid),
+                   _select_rows(table.albedo_coeffs, mid),
+                   _select_rows(table.use_texture, mid),
+                   _select_rows(table.roughness, mid),
                    table.emission, table.eta, table.k, mid)
 
 

@@ -126,3 +126,29 @@ def linear_least_squares(A, B):
     AtA = A.T @ A
     AtB = A.T @ B
     return jnp.linalg.solve(AtA, AtB)
+
+
+# ---------------------------------------------------------------------------
+# Gather-free small-table row select (TPU)
+# ---------------------------------------------------------------------------
+
+_SELECT_UNROLL_MAX = 32
+
+
+def select_rows(tab, idx):
+    """``tab[idx]`` for a SMALL leading axis without a per-element gather.
+
+    TPU gathers serialize on the VPU (~0.3 ms per 65k-row gather even from
+    a 5-row table); for static M <= 32 an unrolled where-chain of
+    statically-indexed rows is pure vector selects (~30x faster). Falls
+    back to the native gather on CPU or for larger tables."""
+    import jax
+    m = tab.shape[0]
+    if jax.default_backend() != "tpu" or m > _SELECT_UNROLL_MAX or m == 0:
+        return tab[idx]
+    extra = tab.ndim - 1
+    mask = lambda k: (idx == k).reshape(idx.shape + (1,) * extra)
+    acc = jnp.broadcast_to(tab[0], idx.shape + tab.shape[1:])
+    for k in range(1, m):
+        acc = jnp.where(mask(k), tab[k], acc)
+    return acc

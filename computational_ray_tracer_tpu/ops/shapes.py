@@ -250,31 +250,52 @@ def _phi_of(p, phi_max):
 
 def sphere_intersect_t(o, d, t_max, tab: SphereTable):
     """Hit distances (N, M): inf where missed. Matches the reference's
-    clip-and-retest-with-t1 semantics (Shapes.h:335-354)."""
-    ow = o[..., None, :]  # (N, 1, 3)
-    dw = d[..., None, :]
-    oo, od = transform_ray(tab.w2o, ow, dw)  # (N, M, 3)
-    r = tab.radius
+    clip-and-retest-with-t1 semantics (Shapes.h:335-354).
 
-    a = jnp.sum(od * od, axis=-1)
-    b = 2.0 * jnp.sum(od * oo, axis=-1)
-    c = jnp.sum(oo * oo, axis=-1) - r * r
+    Computed shape-major — every intermediate is (M, n) with the RAY axis
+    on lanes — instead of broadcasting (N, M, 3) whose 3-wide minor axis
+    lane-pads 3 -> 128 on TPU (same orientation fix as the triangle-major
+    brute mesh test; per-pair math is unchanged)."""
+    batch = o.shape[:-1]
+    n = int(np.prod(batch)) if batch else 1
+    ox, oy, oz = (o.reshape(-1, 3)[:, k] for k in range(3))
+    dx, dy, dz = (d.reshape(-1, 3)[:, k] for k in range(3))
+    tm = t_max.reshape(-1)
+
+    w2o = tab.w2o                              # (M, 4, 4)
+    mc = lambda r, c: w2o[:, r, c][:, None]    # (M, 1)
+    oo = tuple(mc(r, 0) * ox + mc(r, 1) * oy + mc(r, 2) * oz + mc(r, 3)
+               for r in range(3))              # (M, n) each
+    od = tuple(mc(r, 0) * dx + mc(r, 1) * dy + mc(r, 2) * dz
+               for r in range(3))
+    r = tab.radius[:, None]
+    z_min = tab.z_min[:, None]
+    z_max = tab.z_max[:, None]
+    phi_max = tab.phi_max[:, None]
+
+    a = od[0] * od[0] + od[1] * od[1] + od[2] * od[2]
+    b = 2.0 * (od[0] * oo[0] + od[1] * oo[1] + od[2] * oo[2])
+    c = oo[0] * oo[0] + oo[1] * oo[1] + oo[2] * oo[2] - r * r
     t0, t1, has = stable_quadratic(a, b, c)
 
     def clip_ok(t):
-        p = oo + od * t[..., None]
+        px = oo[0] + od[0] * t
+        py = oo[1] + od[1] * t
+        pz = oo[2] + od[2] * t
         # hit refinement: project onto the sphere (Shapes.h:327)
-        p = p * (r / jnp.maximum(jnp.linalg.norm(p, axis=-1), 1e-20))[..., None]
-        phi = _phi_of(p, tab.phi_max)
-        return ((p[..., 2] >= tab.z_min) & (p[..., 2] <= tab.z_max)
-                & (phi <= tab.phi_max))
+        norm = jnp.sqrt(px * px + py * py + pz * pz)
+        s = r / jnp.maximum(norm, 1e-20)
+        px, py, pz = px * s, py * s, pz * s
+        phi = jnp.arctan2(py, px)
+        phi = jnp.where(phi < 0.0, phi + 2.0 * math.pi, phi)
+        return (pz >= z_min) & (pz <= z_max) & (phi <= phi_max)
 
     eps = 1e-4 * r   # scale-relative near-t exclusion (spawn offsets do the
     # real self-intersection work; this only rejects same-surface re-hits)
-    t0_ok = has & (t0 > eps) & (t0 < t_max[..., None]) & clip_ok(t0)
-    t1_ok = has & (t1 > eps) & (t1 < t_max[..., None]) & clip_ok(t1)
+    t0_ok = has & (t0 > eps) & (t0 < tm) & clip_ok(t0)
+    t1_ok = has & (t1 > eps) & (t1 < tm) & clip_ok(t1)
     t = jnp.where(t0_ok, t0, jnp.where(t1_ok, t1, jnp.inf))
-    return t
+    return t.T.reshape(batch + (w2o.shape[0],))
 
 
 def sphere_surface(o, d, t, idx, tab: SphereTable):
@@ -366,27 +387,42 @@ class CylinderTable:
 
 
 def cylinder_intersect_t(o, d, t_max, tab: CylinderTable):
-    ow = o[..., None, :]
-    dw = d[..., None, :]
-    oo, od = transform_ray(tab.w2o, ow, dw)
-    r = tab.radius
-    a = od[..., 0] ** 2 + od[..., 1] ** 2
-    b = 2.0 * (od[..., 0] * oo[..., 0] + od[..., 1] * oo[..., 1])
-    c = oo[..., 0] ** 2 + oo[..., 1] ** 2 - r * r
+    """Shape-major (M, n) layout — see sphere_intersect_t."""
+    batch = o.shape[:-1]
+    ox, oy, oz = (o.reshape(-1, 3)[:, k] for k in range(3))
+    dx, dy, dz = (d.reshape(-1, 3)[:, k] for k in range(3))
+    tm = t_max.reshape(-1)
+    w2o = tab.w2o
+    mc = lambda rr, cc: w2o[:, rr, cc][:, None]
+    oo = tuple(mc(k, 0) * ox + mc(k, 1) * oy + mc(k, 2) * oz + mc(k, 3)
+               for k in range(3))
+    od = tuple(mc(k, 0) * dx + mc(k, 1) * dy + mc(k, 2) * dz
+               for k in range(3))
+    r = tab.radius[:, None]
+    z_min = tab.z_min[:, None]
+    z_max = tab.z_max[:, None]
+    phi_max = tab.phi_max[:, None]
+    a = od[0] * od[0] + od[1] * od[1]
+    b = 2.0 * (od[0] * oo[0] + od[1] * oo[1])
+    c = oo[0] * oo[0] + oo[1] * oo[1] - r * r
     t0, t1, has = stable_quadratic(a, b, c)
 
     def clip_ok(t):
-        p = oo + od * t[..., None]
+        px = oo[0] + od[0] * t
+        py = oo[1] + od[1] * t
+        pz = oo[2] + od[2] * t
         # radial refinement (Shapes.h hit refinement pattern)
-        hit_r = jnp.sqrt(jnp.maximum(p[..., 0] ** 2 + p[..., 1] ** 2, 1e-20))
-        phi = _phi_of(p, tab.phi_max)
-        return ((p[..., 2] >= tab.z_min) & (p[..., 2] <= tab.z_max)
-                & (phi <= tab.phi_max) & (hit_r > 0))
+        hit_r = jnp.sqrt(jnp.maximum(px * px + py * py, 1e-20))
+        phi = jnp.arctan2(py, px)
+        phi = jnp.where(phi < 0.0, phi + 2.0 * math.pi, phi)
+        return ((pz >= z_min) & (pz <= z_max)
+                & (phi <= phi_max) & (hit_r > 0))
 
     eps = 1e-4 * r   # scale-relative (see sphere_intersect_t)
-    t0_ok = has & (t0 > eps) & (t0 < t_max[..., None]) & clip_ok(t0)
-    t1_ok = has & (t1 > eps) & (t1 < t_max[..., None]) & clip_ok(t1)
-    return jnp.where(t0_ok, t0, jnp.where(t1_ok, t1, jnp.inf))
+    t0_ok = has & (t0 > eps) & (t0 < tm) & clip_ok(t0)
+    t1_ok = has & (t1 > eps) & (t1 < tm) & clip_ok(t1)
+    t = jnp.where(t0_ok, t0, jnp.where(t1_ok, t1, jnp.inf))
+    return t.T.reshape(batch + (w2o.shape[0],))
 
 
 def cylinder_surface(o, d, t, idx, tab: CylinderTable):
@@ -454,20 +490,32 @@ class DiskTable:
 
 
 def disk_intersect_t(o, d, t_max, tab: DiskTable):
-    ow = o[..., None, :]
-    dw = d[..., None, :]
-    oo, od = transform_ray(tab.w2o, ow, dw)
-    dz = od[..., 2]
+    """Shape-major (M, n) layout — see sphere_intersect_t."""
+    batch = o.shape[:-1]
+    ox, oy, oz = (o.reshape(-1, 3)[:, k] for k in range(3))
+    dx, dy, dz3 = (d.reshape(-1, 3)[:, k] for k in range(3))
+    tm = t_max.reshape(-1)
+    w2o = tab.w2o
+    mc = lambda rr, cc: w2o[:, rr, cc][:, None]
+    oo = tuple(mc(k, 0) * ox + mc(k, 1) * oy + mc(k, 2) * oz + mc(k, 3)
+               for k in range(3))
+    od = tuple(mc(k, 0) * dx + mc(k, 1) * dy + mc(k, 2) * dz3
+               for k in range(3))
+    dz = od[2]
     parallel = jnp.abs(dz) < 1e-9
-    t = (tab.height - oo[..., 2]) / jnp.where(parallel, 1.0, dz)
-    p = oo + od * t[..., None]
-    r2 = p[..., 0] ** 2 + p[..., 1] ** 2
-    phi = _phi_of(p, tab.phi_max)
-    eps = 1e-4 * tab.radius   # scale-relative (see sphere_intersect_t)
-    ok = (~parallel & (t > eps) & (t < t_max[..., None])
-          & (r2 <= tab.radius ** 2) & (r2 >= tab.inner_radius ** 2)
-          & (phi <= tab.phi_max))
-    return jnp.where(ok, t, jnp.inf)
+    t = (tab.height[:, None] - oo[2]) / jnp.where(parallel, 1.0, dz)
+    px = oo[0] + od[0] * t
+    py = oo[1] + od[1] * t
+    r2 = px * px + py * py
+    phi = jnp.arctan2(py, px)
+    phi = jnp.where(phi < 0.0, phi + 2.0 * math.pi, phi)
+    radius = tab.radius[:, None]
+    eps = 1e-4 * radius   # scale-relative (see sphere_intersect_t)
+    ok = (~parallel & (t > eps) & (t < tm)
+          & (r2 <= radius ** 2) & (r2 >= tab.inner_radius[:, None] ** 2)
+          & (phi <= tab.phi_max[:, None]))
+    t = jnp.where(ok, t, jnp.inf)
+    return t.T.reshape(batch + (w2o.shape[0],))
 
 
 def disk_surface(o, d, t, idx, tab: DiskTable):

@@ -17,6 +17,7 @@ Everything is differentiable and shape-polymorphic over leading batch dims.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any
 
 import jax
@@ -188,6 +189,22 @@ def sample_dense_multi(tables, lam):
         v = v0 * (1.0 - w[..., None]) + v1 * w[..., None]
         return jnp.where(inside[..., None], v, 0.0)
     n = int(np.prod(lam.shape)) if lam.shape else 1
+    c = tables.shape[1]
+    if (os.environ.get("CRT_PALLAS_INTERP", "0") == "1"
+            and n >= 4096 and tables.shape[0] <= 512 and c <= 128):
+        # Pallas one-hot-in-VMEM interp kernel. Measured NEGATIVE result
+        # for the render hot path, kept for standalone/batch use: alone it
+        # is 70x faster than the XLA one-hot dot (0.06 ms vs 4.2 ms — no
+        # 1 GB W materialization), but inside render_pass it is a fusion
+        # barrier (i0/w/out round-trip HBM and the dot no longer fuses
+        # with its producers/consumers): the full pass REGRESSED 0.083 ->
+        # 0.104 s. The fused XLA one-hot below is the hot-path winner.
+        from computational_ray_tracer_tpu.ops import pallas_interp
+        v = pallas_interp.dense_interp_pallas(
+            tables, i0.reshape(-1), w.reshape(-1),
+            interpret=jax.default_backend() != "tpu")
+        v = v.reshape(lam.shape + (c,))
+        return jnp.where(inside[..., None], v, 0.0)
     fi = i0.reshape(n, 1)
     fw = w.reshape(n, 1)
     j = jnp.arange(tables.shape[0], dtype=jnp.int32)
@@ -215,9 +232,10 @@ def sample_dense_rows(table, rows, lam):
     m = table.shape[0]
     if _use_mxu_interp() and m <= _MXU_ROWS_MAX:
         vals = sample_dense_multi(table.T, lam)          # (..., S, M)
-        sel = (rows[..., None, None] ==
-               jnp.arange(m, dtype=jnp.int32)).astype(vals.dtype)
-        return jnp.sum(vals * sel, axis=-1)
+        out = vals[..., 0]
+        for k in range(1, m):                # static-M where-chain select
+            out = jnp.where((rows == k)[..., None], vals[..., k], out)
+        return out
     x = lam - LAMBDA_MIN
     i0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, data.N_DENSE - 2)
     w = jnp.clip(x - i0.astype(lam.dtype), 0.0, 1.0)
@@ -242,9 +260,11 @@ def sample_dense_rows_multi(tables, rows, lam):
         stack = jnp.concatenate([t.T for t in tabs], axis=1)  # (471, G*M)
         vals = sample_dense_multi(stack, lam)                 # (..., S, G*M)
         vals = vals.reshape(lam.shape + (g, m))
-        sel = (rows[..., None, None, None] ==
-               jnp.arange(m, dtype=jnp.int32)).astype(vals.dtype)
-        out = jnp.sum(vals * sel, axis=-1)                    # (..., S, G)
+        # static-M where-chain row select (no (..., S, G, M) mask-mul-sum)
+        rmask = lambda k: (rows == k)[..., None, None]
+        out = vals[..., 0]
+        for k in range(1, m):
+            out = jnp.where(rmask(k), vals[..., k], out)      # (..., S, G)
         return tuple(out[..., i] for i in range(g))
     return tuple(sample_dense_rows(t, rows, lam) for t in tabs)
 

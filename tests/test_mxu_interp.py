@@ -81,3 +81,18 @@ def test_mesh_surface_onehot_matches_gather(monkeypatch):
             np.asarray(getattr(si_onehot, field)),
             np.asarray(getattr(si_gather, field)), rtol=1e-5, atol=1e-6,
             err_msg=field)
+
+
+def test_dense_interp_pallas_matches_gather():
+    """The (env-gated) Pallas one-hot-in-VMEM interp kernel must match the
+    gather formula to f32 rounding (interpret mode off-TPU)."""
+    from computational_ray_tracer_tpu.ops import pallas_interp as pi
+    rng = np.random.default_rng(3)
+    tables = jnp.asarray(rng.normal(size=(471, 15)).astype(np.float32))
+    i0 = jnp.asarray(rng.integers(0, 469, size=(4096,)).astype(np.int32))
+    w = jnp.asarray(rng.uniform(0, 1, size=(4096,)).astype(np.float32))
+    got = np.asarray(pi.dense_interp_pallas(tables, i0, w, interpret=True))
+    t = np.asarray(tables)
+    want = t[np.asarray(i0)] * (1 - np.asarray(w)[:, None]) \
+        + t[np.asarray(i0) + 1] * np.asarray(w)[:, None]
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
