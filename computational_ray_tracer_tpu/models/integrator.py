@@ -183,7 +183,7 @@ def li_direct(scene, o, d, wl, pixel, sample_idx, cfg):
                          enable_rough=scene.has_rough)
     cos_i = jnp.maximum(jnp.sum(wi * si.n, axis=-1), 0.0)
     occluded = scene_occluded(scene, si.p, wi, dist, spawn_eps(si, cfg),
-                              n=si.n)
+                              n=si.n, coherent=False)
     contrib = f * li_val * (cos_i / jnp.maximum(pdf, 1e-12))[..., None]
     contrib = jnp.where((si.valid & ~occluded)[..., None], contrib, 0.0)
     return L + contrib
@@ -272,8 +272,13 @@ def _bounce_step(scene, cfg, mode, state, depth, pixel, sample_idx,
                                      eta_k=(eta_s, k_s),
                                      enable_rough=scene.has_rough)
             cos_l = jnp.maximum(jnp.sum(wi_l * si.n, axis=-1), 0.0)
+            # NEE shadow rays are never camera-coherent — ambient lights
+            # sample cosine-hemisphere directions and area lights random
+            # surface points, so even the depth-0 shadow wavefront needs
+            # the incoherent packet shape (measured: 26.8s vs 1.3s for
+            # one depth-0 bounce of the textured-dragon flagship).
             occ = scene_occluded(scene, si.p, wi_l, dist, eps_h, n=si.n,
-                                 coherent=coherent)
+                                 coherent=False)
             nee = beta * f * li_val * (cos_l / jnp.maximum(pdf_l, 1e-12))[..., None]
             if use_mis:
                 # Delta lights (point/distant) can't be BSDF-sampled: w=1.

@@ -206,13 +206,17 @@ def pack_octree(tree: octmod.Octree, mesh: trimod.MeshData, tri_mask=None):
 
 
 def _traverse_kernel(cap, anyhit, pend_size, skip_leaf, frustum, ray_sub,
-                     ox, oy, oz, dx, dy, dz, tmax,
-                     nodes, verts,
+                     ox, oy, oz, dx, dy, dz, tm_ref, nodes, verts,
                      t_out, row_out, b1_out, b2_out, cnt_out, pop_out,
                      stack, pend, vbuf, sem):
-    o = (ox[0], oy[0], oz[0])     # (ray_sub, 128) each (blocks (1,rs,128))
-    d = (dx[0], dy[0], dz[0])
-    tmax = tmax[0]
+    # per-component ray blocks: (ray_sub, 1, 128) — the unit middle axis
+    # keeps the block's LAST TWO dims (1, 128) equal to the array's for
+    # any ray_sub (Mosaic tiling rule), and the unit-dim squeeze below
+    # yields plain (ray_sub, 128) vregs (slicing a non-unit middle axis
+    # produced an "implicit dimension" layout Mosaic cannot reduce over).
+    o = (ox[:, 0, :], oy[:, 0, :], oz[:, 0, :])         # (ray_sub, 128)
+    d = (dx[:, 0, :], dy[:, 0, :], dz[:, 0, :])
+    tmax = tm_ref[:, 0, :]
     if anyhit:
         # Pre-dead rays (t_max <= 0, e.g. already-occluded shadow rays) are
         # born "found-equivalent": -inf fails every node/triangle test and
@@ -499,12 +503,12 @@ def _traverse_kernel(cap, anyhit, pend_size, skip_leaf, frustum, ray_sub,
     sp, tests, pops, t_best, row_b, b1_b, b2_b = jax.lax.while_loop(
         outer_cond, outer_body, init)
 
-    t_out[:] = t_best
-    row_out[:] = row_b
-    b1_out[:] = b1_b
-    b2_out[:] = b2_b
-    cnt_out[:] = jnp.broadcast_to(tests, (ray_sub, RAY_LANES))
-    pop_out[:] = jnp.broadcast_to(pops, (ray_sub, RAY_LANES))
+    t_out[:, 0, :] = t_best
+    row_out[:, 0, :] = row_b
+    b1_out[:, 0, :] = b1_b
+    b2_out[:, 0, :] = b2_b
+    cnt_out[:, 0, :] = jnp.broadcast_to(tests, (ray_sub, RAY_LANES))
+    pop_out[:, 0, :] = jnp.broadcast_to(pops, (ray_sub, RAY_LANES))
 
 
 @functools.partial(jax.custom_jvp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
@@ -530,21 +534,24 @@ def _octree_pallas_jvp(cap, interpret, anyhit, pend_size, skip_leaf,
 def _octree_pallas_impl(rays, nodes, verts, cap, interpret, anyhit,
                         pend_size, skip_leaf=False, frustum=True,
                         ray_sub=RAY_SUB):
-    grid = (rays.shape[1] // ray_sub,)
+    # rays: (7, n_rows, RAY_LANES) — split into 7 per-component
+    # (n_rows, 1, RAY_LANES) operands; outputs (n_rows, 1, RAY_LANES)
+    # (see _traverse_kernel for the layout rationale).
+    n_rows = rays.shape[1]
+    grid = (n_rows // ray_sub,)
 
-    ray_spec = pl.BlockSpec((1, ray_sub, RAY_LANES), lambda i: (0, i, 0),
+    ray_spec = pl.BlockSpec((ray_sub, 1, RAY_LANES), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((ray_sub, RAY_LANES), lambda i: (i, 0),
+    out_spec = pl.BlockSpec((ray_sub, 1, RAY_LANES), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
-    n_rows = rays.shape[1]
     out_shapes = (
-        jax.ShapeDtypeStruct((n_rows, RAY_LANES), jnp.float32),
-        jax.ShapeDtypeStruct((n_rows, RAY_LANES), jnp.int32),
-        jax.ShapeDtypeStruct((n_rows, RAY_LANES), jnp.float32),
-        jax.ShapeDtypeStruct((n_rows, RAY_LANES), jnp.float32),
-        jax.ShapeDtypeStruct((n_rows, RAY_LANES), jnp.int32),
-        jax.ShapeDtypeStruct((n_rows, RAY_LANES), jnp.int32),
+        jax.ShapeDtypeStruct((n_rows, 1, RAY_LANES), jnp.float32),
+        jax.ShapeDtypeStruct((n_rows, 1, RAY_LANES), jnp.int32),
+        jax.ShapeDtypeStruct((n_rows, 1, RAY_LANES), jnp.float32),
+        jax.ShapeDtypeStruct((n_rows, 1, RAY_LANES), jnp.float32),
+        jax.ShapeDtypeStruct((n_rows, 1, RAY_LANES), jnp.int32),
+        jax.ShapeDtypeStruct((n_rows, 1, RAY_LANES), jnp.int32),
     )
 
     # Scoped-VMEM budget: the resident node table + leaf double-buffer +
@@ -572,7 +579,7 @@ def _octree_pallas_impl(rays, nodes, verts, cap, interpret, anyhit,
             vmem_limit_bytes=vmem_limit),
         interpret=interpret,
     )
-    args = [rays[k].reshape(1, n_rows, RAY_LANES) for k in range(7)]
+    args = [rays[k].reshape(n_rows, 1, RAY_LANES) for k in range(7)]
     return kernel(*args, nodes, verts)
 
 
