@@ -1,6 +1,5 @@
-"""Headline-config cost matrix: where did r1's 6.39M -> r2's 3.55M rays/s
-go? Times one spp pass of the 256^2 Cornell for {simple, path(MIS)} x
-{independent, sobol, sobol_global} x spp_block {1, 4}, same metric
+"""Headline-config cost matrix: times one spp pass of the 256^2 Cornell
+for {simple, path(MIS)} x {independent, sobol, sobol_global}, same metric
 definition as bench.py (camera + bounce + NEE rays).
 
 Usage: python benchmarks/headline_matrix.py [--res 256] [--passes 16]
@@ -35,9 +34,11 @@ def main():
     scene, camera, _ = _cornell_setup(res=res, spp=4)
     rays_per_sample = 1 + (args.depth - 1) + args.depth
     rows = []
-    for mode, kind, blk in itertools.product(
-            ("path", "simple"), ("sobol", "independent", "sobol_global"),
-            (1, 4)):
+    # (spp_block axis removed: measured ~1.5x pessimization everywhere in
+    # the committed headline_matrix.json; the knob and its render path were
+    # retired per VERDICT r3 item 6.)
+    for mode, kind in itertools.product(
+            ("path", "simple"), ("sobol", "independent", "sobol_global")):
         cfg = integ.RenderConfig(
             resolution=(res, res),
             sampler=integ.SamplerConfig(kind=kind, spp=1024),
@@ -47,9 +48,9 @@ def main():
 
         @jax.jit
         def chunk_pass(scene, sample_idx, cfg=cfg, filter_obj=filter_obj,
-                       sensor=sensor, blk=blk):
+                       sensor=sensor):
             return integ.render_passes(scene, camera, cfg, filter_obj,
-                                       sensor, sample_idx, 8, blk)
+                                       sensor, sample_idx, 8)
 
         t0 = time.perf_counter()
         rgb, wt = chunk_pass(scene, jnp.uint32(0))
@@ -61,7 +62,7 @@ def main():
             rgb, wt = chunk_pass(scene, jnp.uint32((i + 1) * 8))
         jax.block_until_ready(rgb)
         dt = (time.perf_counter() - t0) / (n_chunks * 8)
-        row = {"integrator": mode, "sampler": kind, "spp_block": blk,
+        row = {"integrator": mode, "sampler": kind,
                "sec_per_spp_pass": round(dt, 5),
                "rays_per_sec": round(res * res * rays_per_sample / dt, 1),
                "compile_sec": round(compile_s, 1)}

@@ -637,76 +637,29 @@ def render_pass_compact(scene, camera, cfg: RenderConfig, filter_obj,
     return epilogue(state, fw)
 
 
-def render_pass_block(scene, camera, cfg: RenderConfig, filter_obj, sensor,
-                      sample_idx0, k: int):
-    """k samples-per-pixel in ONE wavefront of k*W*H rays.
-
-    Enlarging the in-flight ray batch (rather than scanning k launches of
-    W*H rays) amortizes the fixed per-op cost of the hundreds of small VPU
-    ops in the bounce loop — the dominant overhead at small resolutions.
-    Sample values are identical to k calls of render_pass (each ray is
-    still keyed by its own (pixel, sample_idx)). Returns (rgb (H,W,3)
-    weighted sum, wt (H,W) weight sum) over the k samples."""
-    w, h = cfg.resolution
-    s = cfg.sampler
-    pixel1, inv = _swizzled_pixels(w, h)
-    pixel = jnp.tile(pixel1, (k,)).reshape(k, w * h)
-    sample_idx = (jnp.uint32(sample_idx0)
-                  + jnp.arange(k, dtype=jnp.uint32)[:, None])
-    px = (pixel % w).astype(jnp.float32)
-    py = (pixel // w).astype(jnp.float32)
-
-    u_lam = s.get_1d(pixel, sample_idx, DIM_LAMBDA)
-    wl = _sample_wavelengths(cfg, u_lam)
-
-    u_filt = s.get_2d(pixel, sample_idx, DIM_FILTER)
-    fp, fw = filter_obj.sample(u_filt)
-    pixel_pos = jnp.stack([px + 0.5, py + 0.5], axis=-1) + fp
-
-    u_lens = s.get_2d(pixel, sample_idx, DIM_LENS)
-    o, d = camera.generate_rays(pixel_pos, u_lens)
-
-    if cfg.integrator == "direct":
-        L = li_direct(scene, o, d, wl, pixel, sample_idx, cfg)
-        wl_out = wl
-    elif cfg.integrator == "walk":
-        L, wl_out = li_random_walk(scene, o, d, wl, pixel, sample_idx, cfg)
-    elif cfg.integrator == "simple":
-        L, wl_out = li_simple_path(scene, o, d, wl, pixel, sample_idx, cfg)
-    else:
-        L, wl_out = li_path(scene, o, d, wl, pixel, sample_idx, cfg)
-
-    rgb = sensor.to_sensor_rgb(L, wl_out)
-    if cfg.clamp > 0.0:
-        rgb = jnp.clip(rgb, 0.0, cfg.clamp)
-    else:
-        rgb = jnp.maximum(rgb, 0.0)
-    rgb_sum = jnp.sum(rgb * fw[..., None], axis=0)
-    wt_sum = jnp.sum(fw, axis=0)
-    if inv is not None:
-        rgb_sum = rgb_sum[inv]
-        wt_sum = wt_sum[inv]
-    return rgb_sum.reshape(h, w, 3), wt_sum.reshape(h, w)
-
-
 def render_passes(scene, camera, cfg: RenderConfig, filter_obj, sensor,
-                  sample_idx0, n_passes: int, spp_block: int = 1):
+                  sample_idx0, n_passes: int):
     """n_passes samples-per-pixel in ONE device program: lax.scan over
-    blocks of ``spp_block`` samples accumulating (rgb_sum, weight_sum).
-    Amortizes host->device dispatch over the chunk (one launch instead of
-    n) and per-op overhead over the block (spp_block*W*H rays in flight)."""
+    per-sample passes accumulating (rgb_sum, weight_sum). Amortizes
+    host->device dispatch over the chunk (one launch instead of n).
+
+    (A multi-sample-wavefront variant — k*W*H rays in flight per scan step
+    — was measured a uniform ~1.5x pessimization across 12 integrator x
+    sampler configs on TPU, benchmarks/headline_matrix.json, and was
+    removed: bigger wavefronts push the bounce loop's working set out of
+    VMEM-resident fusion windows and every elementwise op pays full HBM
+    round-trips.)"""
     w, h = cfg.resolution
-    assert n_passes % spp_block == 0, (n_passes, spp_block)
 
     def body(carry, j):
         rgb_sum, wt_sum = carry
-        rgb, wt = render_pass_block(scene, camera, cfg, filter_obj, sensor,
-                                    sample_idx0 + j * spp_block, spp_block)
-        return (rgb_sum + rgb, wt_sum + wt), None
+        rgb, wt = render_pass(scene, camera, cfg, filter_obj, sensor,
+                              sample_idx0 + j)
+        return (rgb_sum + rgb * wt[..., None], wt_sum + wt), None
 
     init = (jnp.zeros((h, w, 3)), jnp.zeros((h, w)))
     (rgb_sum, wt_sum), _ = jax.lax.scan(
-        body, init, jnp.arange(n_passes // spp_block, dtype=jnp.uint32))
+        body, init, jnp.arange(n_passes, dtype=jnp.uint32))
     return rgb_sum, wt_sum
 
 

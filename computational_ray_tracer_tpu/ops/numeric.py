@@ -141,9 +141,15 @@ def select_rows(tab, idx):
     TPU gathers serialize on the VPU (~0.3 ms per 65k-row gather even from
     a 5-row table); for static M <= 32 an unrolled where-chain of
     statically-indexed rows is pure vector selects (~30x faster). Falls
-    back to the native gather on CPU or for larger tables."""
+    back to the native gather on CPU or for larger tables.
+
+    Out-of-range ``idx`` is CLAMPED to [0, M) on every backend (the
+    where-chain and a raw gather would otherwise disagree about idx < 0 /
+    idx >= M); callers passing sentinel rows must mask the result."""
     import jax
     m = tab.shape[0]
+    if m > 0:
+        idx = jnp.clip(idx, 0, m - 1)
     if jax.default_backend() != "tpu" or m > _SELECT_UNROLL_MAX or m == 0:
         return tab[idx]
     extra = tab.ndim - 1

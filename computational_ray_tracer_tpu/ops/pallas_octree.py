@@ -98,13 +98,17 @@ class PackedOctree:
     leaf_verts: jnp.ndarray     # (rows, VERT_COLS) f32, chunk-aligned compact
     row_tri: jnp.ndarray        # (rows,) i32 tri id per row (-1 pad)
     cap: int                    # max triangles per leaf (static)
+    chunk: int = CHUNK          # leaf-row chunking the pack was built with;
+                                # asserted == module CHUNK at kernel entry
+                                # (a CRT_CHUNK mismatch would mis-traverse)
 
     def tree_flatten(self):
-        return (self.nodes, self.leaf_verts, self.row_tri), self.cap
+        return (self.nodes, self.leaf_verts, self.row_tri), (self.cap,
+                                                             self.chunk)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, cap=aux)
+        return cls(*children, cap=aux[0], chunk=aux[1])
 
 
 NODE_LANES = 16     # lanes per child slot in a sibling-group row
@@ -196,7 +200,7 @@ def pack_from_numpy(tree_np, mesh: trimod.MeshData, tri_mask=None):
 
     row_tri = jnp.asarray(row_tri_np)
     rows = _gather_rows(row_tri, mesh.positions, mesh.indices)
-    return PackedOctree(jnp.asarray(nodes), rows, row_tri, cap)
+    return PackedOctree(jnp.asarray(nodes), rows, row_tri, cap, chunk=CHUNK)
 
 
 def pack_octree(tree: octmod.Octree, mesh: trimod.MeshData, tri_mask=None):
@@ -617,6 +621,9 @@ def octree_intersect_pallas(o, d, t_max, packed: PackedOctree,
         pend_size = PEND_SIZE
     if ray_sub is None:
         ray_sub = RAY_SUB
+    assert packed.chunk == CHUNK, (
+        f"PackedOctree was packed with CRT_CHUNK={packed.chunk} but this "
+        f"process runs CHUNK={CHUNK} — the kernel would mis-traverse")
     assert RAY_SUB % ray_sub == 0
     cpl = (packed.cap + CHUNK - 1) // CHUNK
     assert pend_size > 8 * cpl, (

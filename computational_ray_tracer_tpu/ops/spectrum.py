@@ -227,9 +227,14 @@ def sample_dense_rows(table, rows, lam):
     Equivalent to ``sample_dense(table[rows], lam)`` but never materializes
     the (..., 471) gathered rows. On TPU with small M this evaluates ALL M
     rows via :func:`sample_dense_multi` (one MXU dot) and selects the row
-    with a one-hot reduction — 4x faster than the serialized gather."""
+    with a one-hot reduction — 4x faster than the serialized gather.
+
+    Out-of-range ``rows`` are CLAMPED to [0, M) so the where-chain, the
+    flat-gather path, and CPU all agree; callers with sentinel rows must
+    mask the result themselves."""
     table = jnp.asarray(table)
     m = table.shape[0]
+    rows = jnp.clip(rows, 0, m - 1)
     if _use_mxu_interp() and m <= _MXU_ROWS_MAX:
         vals = sample_dense_multi(table.T, lam)          # (..., S, M)
         out = vals[..., 0]
@@ -256,6 +261,7 @@ def sample_dense_rows_multi(tables, rows, lam):
     tabs = [jnp.asarray(t) for t in tables]
     m = tabs[0].shape[0]
     g = len(tabs)
+    rows = jnp.clip(rows, 0, m - 1)   # backend-agnostic out-of-range policy
     if _use_mxu_interp() and m <= _MXU_ROWS_MAX:
         stack = jnp.concatenate([t.T for t in tabs], axis=1)  # (471, G*M)
         vals = sample_dense_multi(stack, lam)                 # (..., S, G*M)
