@@ -54,7 +54,11 @@ def main():
     filter_obj = integ.make_filter(cfg)
     sensor = integ.make_sensor(cfg)
     n = RES * RES
-    pixel = jnp.arange(n, dtype=jnp.uint32)
+    # tile-swizzled pixel order — the order render_pass actually uses
+    # (the r3 run of this profiler used raster order, which made isolated
+    # closest-hit look 40x slower than in-pass: a 1024-ray packet spanned
+    # two full image rows)
+    pixel, _ = integ._swizzled_pixels(RES, RES)
     s = cfg.sampler
     px = (pixel % RES).astype(jnp.float32) + 0.5
     py = (pixel // RES).astype(jnp.float32) + 0.5
@@ -66,6 +70,18 @@ def main():
     timeit("full render_pass (direct, 1 spp)",
            lambda sc, k: integ.render_pass(sc, camera, cfg, filter_obj,
                                            sensor, k), scene)
+
+    # full pass with the NEE shadow test stubbed out — everything EXCEPT
+    # scene_anyhit (closest hit, surface, shading, film) stays real.
+    real_occluded = integ.scene_occluded
+    try:
+        integ.scene_occluded = lambda sc, p, wi, dist, eps=1e-3, n=None, \
+            coherent=True: jnp.zeros(p.shape[:-1], bool)
+        timeit("render_pass minus shadow (stubbed)",
+               lambda sc, k: integ.render_pass(sc, camera, cfg, filter_obj,
+                                               sensor, k), scene)
+    finally:
+        integ.scene_occluded = real_occluded
     timeit("scene_intersect_t (closest)",
            lambda sc, k: scn.scene_intersect_t(
                sc, o + 0.0 * k.astype(jnp.float32), d, t_max)[0], scene)

@@ -103,6 +103,10 @@ def main():
     kinds = np.asarray(lkind)
     emit({"n_rays": n, "alive": int(alive.sum()),
           "frac_distant": round(float((kinds == lgt.DISTANT)[alive].mean()), 3),
+          "chunk": poct.CHUNK, "dma_slots": poct.DMA_SLOTS,
+          "pend_size": poct.PEND_SIZE,
+          "leaf_verts_mb": round(
+              int(scene.packed_octree.leaf_verts.size) * 4 / 2**20),
           "device": str(jax.devices()[0])})
 
     packed = scene.packed_octree
@@ -118,9 +122,14 @@ def main():
     emit({"variant": "sort_machinery_only", "sec": round(dt, 4),
           "compile_sec": round(cdt, 1)})
 
-    # sorted x (ray_sub, frustum)
-    for rs, fr in [(1, False), (2, False), (4, False), (8, False),
-                   (8, True), (4, True)]:
+    # sorted x (ray_sub, frustum). SHADOW_QUICK=1 trims to the narrow
+    # shapes (for kernel-knob sweeps: CRT_DMA_SLOTS / CRT_CHUNK /
+    # CRT_PEND_SIZE are read at pallas_octree import time).
+    shapes = [(1, False), (2, False), (4, False), (8, False),
+              (8, True), (4, True)]
+    if os.environ.get("SHADOW_QUICK", "0") == "1":
+        shapes = [(1, False), (2, False)]
+    for rs, fr in shapes:
         fn = jax.jit(lambda o, d, t, pk, rs=rs, fr=fr:
                      _sorted_anyhit(o, d, t, pk, rs, fr))
         try:
@@ -143,7 +152,10 @@ def main():
     # light-kind split: distant (coherent rs8+frustum) + rest (narrow).
     # The sort key already separates them (distant = one octant), so this
     # measures whether EXPLICIT splitting beats octant-sorted mixing.
-    for rs_amb, fr_amb in [(1, False), (4, False), (8, False)]:
+    splits = [(1, False), (4, False), (8, False)]
+    if os.environ.get("SHADOW_QUICK", "0") == "1":
+        splits = []
+    for rs_amb, fr_amb in splits:
         fn = jax.jit(lambda o, d, t, lk, pk, rs=rs_amb, fr=fr_amb:
                      _split_anyhit(o, d, t, lk, pk, rs, fr))
         try:
@@ -158,8 +170,8 @@ def main():
               "occluded_frac": round(float(np.asarray(out).mean()), 4),
               "compile_sec": round(cdt, 1)})
 
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "profile_shadow.json")
+    out_path = os.environ.get("SHADOW_OUT") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "profile_shadow.json")
     with open(out_path, "w") as fh:
         json.dump(records, fh, indent=1)
     print(f"wrote {out_path}", file=sys.stderr)

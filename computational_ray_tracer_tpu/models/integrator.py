@@ -182,6 +182,13 @@ def li_direct(scene, o, d, wl, pixel, sample_idx, cfg):
     f, _ = mat.bsdf_eval(mrow, si.n, si.wo, wi, wl.lam, _tex_coeffs(scene, si),
                          enable_rough=scene.has_rough)
     cos_i = jnp.maximum(jnp.sum(wi * si.n, axis=-1), 0.0)
+    # Invalid pixels (camera ray missed) must carry DEAD shadow rays:
+    # their placeholder surface point is the origin — typically INSIDE the
+    # scene geometry — and an alive phantom ray from there does a worst-case
+    # traversal before being masked out of the image. Measured on the 327k-
+    # tri mesh bench: phantom rays cost ~1.4 s of a 2.7 s pass
+    # (benchmarks/profile_shadow.json vs profile_mesh_pass.py stage times).
+    dist = jnp.where(si.valid, dist, -1.0)
     occluded = scene_occluded(scene, si.p, wi, dist, spawn_eps(si, cfg),
                               n=si.n, coherent=False)
     contrib = f * li_val * (cos_i / jnp.maximum(pdf, 1e-12))[..., None]
@@ -277,8 +284,12 @@ def _bounce_step(scene, cfg, mode, state, depth, pixel, sample_idx,
             # surface points, so even the depth-0 shadow wavefront needs
             # the incoherent packet shape (measured: 26.8s vs 1.3s for
             # one depth-0 bounce of the textured-dragon flagship).
-            occ = scene_occluded(scene, si.p, wi_l, dist, eps_h, n=si.n,
-                                 coherent=False)
+            # Rays without a surface hit carry DEAD shadow rays (see
+            # li_direct: phantom rays from the placeholder origin point
+            # do worst-case traversals before being masked out).
+            occ = scene_occluded(scene, si.p, wi_l,
+                                 jnp.where(hit, dist, -1.0), eps_h,
+                                 n=si.n, coherent=False)
             nee = beta * f * li_val * (cos_l / jnp.maximum(pdf_l, 1e-12))[..., None]
             if use_mis:
                 # Delta lights (point/distant) can't be BSDF-sampled: w=1.
