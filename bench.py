@@ -22,7 +22,7 @@ and NEE shadow rays (the standard wavefront metric); per-depth alive-ray
 fractions are reported alongside so the nominal count stays honest.
 A stored per-round baseline (benchmarks/baseline.json) anchors vs_baseline.
 
-env: BENCH_RES, BENCH_SPP, BENCH_PASSES, BENCH_CHUNK, BENCH_SPP_BLOCK,
+env: BENCH_RES, BENCH_SPP, BENCH_PASSES, BENCH_CHUNK,
      BENCH_MESH=0 / BENCH_FLAGSHIP=0 / BENCH_LEGACY=0 / BENCH_GOLDEN=0 /
      BENCH_GRAD=0 to skip blocks, BENCH_MESH_SUBDIV, BENCH_MESH_RES,
      BENCH_MESH_SPP, BENCH_MESH_CAP (octree leaf capacity).
@@ -63,7 +63,7 @@ def bench_cornell(res, spp, max_depth=4):
                                    sample_idx, chunk)
 
     rgb, wt = chunk_pass(scene, jnp.uint32(0))
-    rgb.block_until_ready()
+    jax.block_until_ready((rgb, wt))
 
     n_timed = _env("BENCH_PASSES", 32)
     n_chunks = max(1, n_timed // chunk)
@@ -71,7 +71,7 @@ def bench_cornell(res, spp, max_depth=4):
     t0 = time.perf_counter()
     for i in range(n_chunks):
         rgb, wt = chunk_pass(scene, jnp.uint32((i + 1) * chunk))
-    rgb.block_until_ready()
+    jax.block_until_ready((rgb, wt))
     dt = time.perf_counter() - t0
 
     alive = np.asarray(jax.jit(lambda s: integ.alive_fractions(
@@ -96,12 +96,12 @@ def bench_cornell(res, spp, max_depth=4):
                                      sensor, sample_idx)
 
         rgb, _ = one_pass(scene, jnp.uint32(0))
-        rgb.block_until_ready()
+        jax.block_until_ready((rgb, wt))
         n_legacy = min(n_timed, 16)
         t0 = time.perf_counter()
         for i in range(n_legacy):
             rgb, _ = one_pass(scene, jnp.uint32(i + 1))
-        rgb.block_until_ready()
+        jax.block_until_ready((rgb, wt))
         dt_l = time.perf_counter() - t0
         detail["legacy_unchunked"] = {
             "rays_per_sec": round(
@@ -139,8 +139,6 @@ def bench_dragon():
     subdiv = _env("BENCH_MESH_SUBDIV", 7)
     res = _env("BENCH_MESH_RES", 512)
     spp = _env("BENCH_MESH_SPP", 4)
-    # cap 40: best measured closest-hit rate in the committed sweep
-    # (benchmarks/profile_octree*.json: 2.26M rays/s vs 1.08M at cap 16).
     cap = _env("BENCH_MESH_CAP", 40)
 
     t0 = time.perf_counter()
@@ -162,13 +160,13 @@ def bench_dragon():
 
     t0 = time.perf_counter()
     rgb, wt = one_pass(scene, jnp.uint32(0))
-    rgb.block_until_ready()
+    jax.block_until_ready((rgb, wt))
     compile_dt = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     for i in range(spp):
         rgb, wt = one_pass(scene, jnp.uint32(i + 1))
-    rgb.block_until_ready()
+    jax.block_until_ready((rgb, wt))
     dt = (time.perf_counter() - t0) / spp
 
     # direct lighting: 1 camera ray + 1 shadow ray per sample
@@ -243,12 +241,12 @@ def bench_flagship(dragon_scene=None):
 
     t0 = time.perf_counter()
     rgb, wt = one_pass(scene, jnp.uint32(0))
-    rgb.block_until_ready()
+    jax.block_until_ready((rgb, wt))
     compile_dt = time.perf_counter() - t0
     t0 = time.perf_counter()
     for i in range(spp):
         rgb, wt = one_pass(scene, jnp.uint32(i + 1))
-    rgb.block_until_ready()
+    jax.block_until_ready((rgb, wt))
     dt = (time.perf_counter() - t0) / spp
 
     rays_per_sample = 1 + (depth - 1) + depth

@@ -155,11 +155,14 @@ def _use_packet_kernel(scene):
         jax.default_backend() == "tpu" or scene.use_pallas)
 
 
-# Packet shape for INCOHERENT (bounce/shadow-at-depth) wavefronts: narrow
-# 1x128 packets with the exact vector walk. The frustum hull of a
-# mixed-direction packet is unboundedly loose, and per-ray traversal cost
-# scales with packet extent (measured: benchmarks/profile_octree_bounce.py).
-INCOH_RAY_SUB = int(os.environ.get("CRT_INCOH_RAY_SUB", "1"))
+# Packet shape for INCOHERENT (bounce/shadow-at-depth) wavefronts. With
+# the fast (1, 8, 128)-block kernel layout the full 8x128 packet with the
+# exact per-ray vector walk wins even on the mixed distant+ambient NEE
+# shadow wavefront (r4 sweep on the 327k-tri bench scene: rs8/no-frustum
+# 349 ms vs rs4 423, rs2 529, rs1 702; the r3 narrow-packet preference was
+# an artifact of the 4x-slower (rs, 1, 128) codegen). Narrow sub-walks
+# remain available via CRT_INCOH_RAY_SUB for sweeps.
+INCOH_RAY_SUB = int(os.environ.get("CRT_INCOH_RAY_SUB", "8"))
 INCOH_FRUSTUM = os.environ.get("CRT_INCOH_FRUSTUM", "0") == "1"
 
 

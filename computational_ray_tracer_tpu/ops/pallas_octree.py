@@ -213,82 +213,45 @@ def _traverse_kernel(cap, anyhit, pend_size, skip_leaf, frustum, ray_sub,
                      ox, oy, oz, dx, dy, dz, tm_ref, nodes, verts,
                      t_out, row_out, b1_out, b2_out, cnt_out, pop_out,
                      stack, pend, vbuf, sem):
-    # per-component ray blocks: (ray_sub, 1, 128) — the unit middle axis
-    # keeps the block's LAST TWO dims (1, 128) equal to the array's for
-    # any ray_sub (Mosaic tiling rule), and the unit-dim squeeze below
-    # yields plain (ray_sub, 128) vregs (slicing a non-unit middle axis
-    # produced an "implicit dimension" layout Mosaic cannot reduce over).
-    o = (ox[:, 0, :], oy[:, 0, :], oz[:, 0, :])         # (ray_sub, 128)
-    d = (dx[:, 0, :], dy[:, 0, :], dz[:, 0, :])
-    tmax = tm_ref[:, 0, :]
-    if anyhit:
-        # Pre-dead rays (t_max <= 0, e.g. already-occluded shadow rays) are
-        # born "found-equivalent": -inf fails every node/triangle test and
-        # counts as done for the whole-packet stack drain below.
-        tmax = jnp.where(tmax > 0.0, tmax, -jnp.inf)
+    # per-component ray blocks: (1, RAY_SUB, 128), squeezed via [0] to
+    # plain (8, 128) vregs. NOTE the layout matters enormously: round 3
+    # briefly switched to (ray_sub, 1, 128) blocks with a [:, 0, :]
+    # squeeze — semantically identical, but Mosaic generated a 4x slower
+    # kernel body (716 ms vs 181 ms for the same 512^2 closest-hit
+    # wavefront, same node-pop/tri-test counters, bit-equal outputs).
+    # Keep the leading-unit-axis blocks.
+    #
+    # Narrow packets (ray_sub < 8): Pallas requires the block sublane dim
+    # to be 8, so a ray_sub x 128 packet is realized as a SUB-WALK of the
+    # full (8, 128) block — the kernel runs 8/ray_sub sequential
+    # traversals, each with the rows outside its subgroup forced dead
+    # (t_best = -inf fails every node and triangle test), so each walk
+    # visits exactly the nodes its own ray_sub x 128 rays need. Vector
+    # work always runs on the full tile (free — the VPU is 8x128); only
+    # the serial walk/leaf-stream work is per-subgroup.
+    o = (ox[0], oy[0], oz[0])          # (8, 128) each
+    d = (dx[0], dy[0], dz[0])
+    tmax_all = tm_ref[0]
+    # Pre-dead rays (t_max <= 0: already-occluded shadow rays, dead bounce
+    # continuations, padding) are born done in BOTH modes: -inf fails every
+    # node test (`tn < t_best` — a merely negative t_max does NOT, tn can
+    # be arbitrarily negative for origins inside the scene box) and every
+    # triangle test (ts > 0 required), and counts as done for the anyhit
+    # whole-packet stack drain below.
+    tmax_all = jnp.where(tmax_all > 0.0, tmax_all, -jnp.inf)
     safe = lambda v: jnp.where(jnp.abs(v) < 1e-20,
                                jnp.where(v < 0, -1e-20, 1e-20), v)
     inv = tuple(1.0 / safe(v) for v in d)
     g3 = 1.0 + 2.0 * _gamma(3)
-
-    # Packet octant = majority direction sign per axis (scalars).
-    half = jnp.float32(ray_sub * RAY_LANES // 2)
-    octant = ((jnp.sum((d[0] < 0).astype(jnp.float32)) > half).astype(jnp.int32) * 4
-              + (jnp.sum((d[1] < 0).astype(jnp.float32)) > half).astype(jnp.int32) * 2
-              + (jnp.sum((d[2] < 0).astype(jnp.float32)) > half).astype(jnp.int32))
-
-    stack[0] = jnp.int32(0)            # root pre-pushed
-
-    if frustum:
-        # Packet frustum hull (scalars). The walk only ever consumes the
-        # packet-OR of the per-ray slab test, so a conservative interval
-        # test over [o_lo,o_hi] x [inv_lo,inv_hi] replaces the 8 vector
-        # (8,128) slab tests per pop with ~70 scalar-unit ops per child.
-        # False positives (interval slack) only add node visits — never
-        # wrong results; camera/octant-sorted packets are tight frustums.
-        o_lo = tuple(jnp.min(v) for v in o)
-        o_hi = tuple(jnp.max(v) for v in o)
-        inv_lo = tuple(jnp.min(v) for v in inv)
-        inv_hi = tuple(jnp.max(v) for v in inv)
-
-        def child_hit_frustum(row, base, tb_max):
-            tn_lb = jnp.float32(-jnp.inf)
-            tf_ub = jnp.float32(jnp.inf)
-            for a in range(3):
-                lo_a = row[0, base + a]
-                hi_a = row[0, base + 3 + a]
-                a0 = lo_a - o_hi[a]
-                a1 = lo_a - o_lo[a]
-                b0 = hi_a - o_hi[a]
-                b1 = hi_a - o_lo[a]
-                i0, i1 = inv_lo[a], inv_hi[a]
-                s0l = jnp.minimum(jnp.minimum(a0 * i0, a0 * i1),
-                                  jnp.minimum(a1 * i0, a1 * i1))
-                s0h = jnp.maximum(jnp.maximum(a0 * i0, a0 * i1),
-                                  jnp.maximum(a1 * i0, a1 * i1))
-                s1l = jnp.minimum(jnp.minimum(b0 * i0, b0 * i1),
-                                  jnp.minimum(b1 * i0, b1 * i1))
-                s1h = jnp.maximum(jnp.maximum(b0 * i0, b0 * i1),
-                                  jnp.maximum(b1 * i0, b1 * i1))
-                tn_lb = jnp.maximum(tn_lb, jnp.minimum(s0l, s1l))
-                tf_ub = jnp.minimum(tf_ub, jnp.maximum(s0h, s1h))
-            tf_ub = tf_ub * g3
-            return (tn_lb <= tf_ub) & (tf_ub > 0.0) & (tn_lb < tb_max)
+    n_sub = RAY_SUB // ray_sub
+    sub_row = jax.lax.broadcasted_iota(jnp.int32, (RAY_SUB, RAY_LANES), 0)
 
     # --- ray-only watertight-test precomputation (hoisted out of the leaf
-    # loop): permutation masks, permuted direction, shear coefficients.
-    # Layouts by packet shape: ray_sub > 1 tests chunks as (CHUNK, rs, 128)
-    # (tris on the sequential leading axis, rays on the (rs,128) tile);
-    # ray_sub == 1 folds the CHUNK triangles onto the SUBLANE axis instead
-    # — (CHUNK, 128) — so one chunk test is ONE full vector tile rather
-    # than CHUNK partial (1,128) ops. Narrow packets exist for incoherent
-    # (bounce) rays, where per-ray traversal cost scales with packet size.
-    if ray_sub == 1:
-        rexp = lambda v: v                       # (1, 128): tri-major 2D
-        col_shape = (CHUNK, 1)
-    else:
-        rexp = lambda v: v[None]                 # (1, rs, 128)
-        col_shape = (CHUNK, 1, 1)
+    # loop AND the subgroup loop): permutation masks, permuted direction,
+    # shear coefficients. Chunks test as (CHUNK, 8, 128): triangles on the
+    # sequential leading axis, the full ray tile on the trailing two.
+    rexp = lambda v: v[None]                     # (1, 8, 128)
+    col_shape = (CHUNK, 1, 1)
     adx, ady, adz = (jnp.abs(d[0]), jnp.abs(d[1]), jnp.abs(d[2]))
     kz_x = rexp((adx >= ady) & (adx >= adz))
     kz_y = rexp((~((adx >= ady) & (adx >= adz))) & (ady >= adz))
@@ -346,8 +309,7 @@ def _traverse_kernel(cap, anyhit, pend_size, skip_leaf, frustum, ray_sub,
         t_scaled = e0 * az_s + e1 * bz_s + e2 * cz_s
         ts = jnp.where(det < 0, -t_scaled, t_scaled)
         dd = jnp.abs(det)
-        tb = t_best if ray_sub == 1 else t_best[None]
-        in_range = (ts > 0.0) & (ts < tb * dd)
+        in_range = (ts > 0.0) & (ts < t_best[None] * dd)
 
         inv_det = 1.0 / jnp.where(nonzero, det, 1.0)
         t = t_scaled * inv_det
@@ -386,138 +348,228 @@ def _traverse_kernel(cap, anyhit, pend_size, skip_leaf, frustum, ray_sub,
 
     cpl = (cap + CHUNK - 1) // CHUNK    # max pending chunks per leaf (static)
 
-    def outer_body(state):
-        sp, tests, pops, t_best, row_b, b1_b, b2_b = state
+    out_t = jnp.full((RAY_SUB, RAY_LANES), jnp.inf, jnp.float32)
+    out_row = jnp.full((RAY_SUB, RAY_LANES), -1, jnp.int32)
+    out_b1 = jnp.zeros((RAY_SUB, RAY_LANES), jnp.float32)
+    out_b2 = jnp.zeros((RAY_SUB, RAY_LANES), jnp.float32)
+    tests_total = jnp.int32(0)
+    pops_total = jnp.int32(0)
 
-        # ---- walk phase: fill the pending-chunk queue.
-        # Stack entries are sibling-GROUP ids (-1 = skip sentinel): one pop
-        # slab-tests all 8 children of a split against the packet, pushes the
-        # child groups of hit interiors (positioned so pops come near-to-far
-        # by octant), and queues hit leaves as CHUNK-row entries — only the
-        # ceil(count/CHUNK) chunks that hold real triangles, so the leaf
-        # phase never streams or tests a leaf's padding rows.
-        def walk_cond(c):
-            sp, npend = c[0], c[1]
-            return (sp > 0) & (npend <= pend_size - 8 * cpl)
+    for g in range(n_sub):
+        if n_sub == 1:
+            mask_g = None
+            tmax = tmax_all
+            in_g = lambda v: v
+        else:
+            mask_g = (sub_row >= g * ray_sub) & (sub_row < (g + 1) * ray_sub)
+            tmax = jnp.where(mask_g, tmax_all, -jnp.inf)
+            in_g = lambda v: jnp.where(mask_g, v, 0.0)
 
-        tb_max = jnp.max(t_best) if frustum else None
+        # Subgroup octant = majority direction sign per axis (scalars).
+        half = jnp.float32(ray_sub * RAY_LANES // 2)
+        octant = ((jnp.sum(in_g((d[0] < 0).astype(jnp.float32))) > half)
+                  .astype(jnp.int32) * 4
+                  + (jnp.sum(in_g((d[1] < 0).astype(jnp.float32))) > half)
+                  .astype(jnp.int32) * 2
+                  + (jnp.sum(in_g((d[2] < 0).astype(jnp.float32))) > half)
+                  .astype(jnp.int32))
 
-        def walk_body(c):
-            sp, npend, pops, t_best = c
-            sp = sp - 1
-            gid = stack[sp]
-            valid = gid >= 0
-            pops = pops + valid.astype(jnp.int32)
-            row = nodes[pl.ds(jnp.maximum(gid, 0), 1), :]   # (1, 8*NODE_LANES)
+        stack[0] = jnp.int32(0)            # root pre-pushed
 
-            @pl.when(valid)
-            def _():
-                # clear the prospective push block (stale slots would be
-                # re-visited as live group ids)
+        if frustum:
+            # Subgroup frustum hull (scalars). The walk only ever consumes
+            # the packet-OR of the per-ray slab test, so a conservative
+            # interval test over [o_lo,o_hi] x [inv_lo,inv_hi] replaces the
+            # vector (8,128) slab tests per pop with ~70 scalar-unit ops
+            # per child. False positives (interval slack) only add node
+            # visits — never wrong results; camera/octant-sorted packets
+            # are tight frustums.
+            if mask_g is None:
+                o_lo = tuple(jnp.min(v) for v in o)
+                o_hi = tuple(jnp.max(v) for v in o)
+                inv_lo = tuple(jnp.min(v) for v in inv)
+                inv_hi = tuple(jnp.max(v) for v in inv)
+            else:
+                sel = lambda v, fill: jnp.where(mask_g, v, fill)
+                o_lo = tuple(jnp.min(sel(v, jnp.inf)) for v in o)
+                o_hi = tuple(jnp.max(sel(v, -jnp.inf)) for v in o)
+                inv_lo = tuple(jnp.min(sel(v, jnp.inf)) for v in inv)
+                inv_hi = tuple(jnp.max(sel(v, -jnp.inf)) for v in inv)
+
+            def child_hit_frustum(row, base, tb_max, o_lo=o_lo, o_hi=o_hi,
+                                  inv_lo=inv_lo, inv_hi=inv_hi):
+                tn_lb = jnp.float32(-jnp.inf)
+                tf_ub = jnp.float32(jnp.inf)
+                for a in range(3):
+                    lo_a = row[0, base + a]
+                    hi_a = row[0, base + 3 + a]
+                    a0 = lo_a - o_hi[a]
+                    a1 = lo_a - o_lo[a]
+                    b0 = hi_a - o_hi[a]
+                    b1 = hi_a - o_lo[a]
+                    i0, i1 = inv_lo[a], inv_hi[a]
+                    s0l = jnp.minimum(jnp.minimum(a0 * i0, a0 * i1),
+                                      jnp.minimum(a1 * i0, a1 * i1))
+                    s0h = jnp.maximum(jnp.maximum(a0 * i0, a0 * i1),
+                                      jnp.maximum(a1 * i0, a1 * i1))
+                    s1l = jnp.minimum(jnp.minimum(b0 * i0, b0 * i1),
+                                      jnp.minimum(b1 * i0, b1 * i1))
+                    s1h = jnp.maximum(jnp.maximum(b0 * i0, b0 * i1),
+                                      jnp.maximum(b1 * i0, b1 * i1))
+                    tn_lb = jnp.maximum(tn_lb, jnp.minimum(s0l, s1l))
+                    tf_ub = jnp.minimum(tf_ub, jnp.maximum(s0h, s1h))
+                tf_ub = tf_ub * g3
+                return (tn_lb <= tf_ub) & (tf_ub > 0.0) & (tn_lb < tb_max)
+
+        def outer_body(state, octant=octant,
+                       child_hit_frustum=(child_hit_frustum if frustum
+                                          else None)):
+            sp, tests, pops, t_best, row_b, b1_b, b2_b = state
+
+            # ---- walk phase: fill the pending-chunk queue.
+            # Stack entries are sibling-GROUP ids (-1 = skip sentinel): one
+            # pop slab-tests all 8 children of a split against the packet,
+            # pushes the child groups of hit interiors (positioned so pops
+            # come near-to-far by octant), and queues hit leaves as
+            # CHUNK-row entries — only the ceil(count/CHUNK) chunks that
+            # hold real triangles, so the leaf phase never streams or tests
+            # a leaf's padding rows.
+            def walk_cond(c):
+                sp, npend = c[0], c[1]
+                return (sp > 0) & (npend <= pend_size - 8 * cpl)
+
+            tb_max = jnp.max(t_best) if frustum else None
+
+            def walk_body(c):
+                sp, npend, pops, t_best = c
+                sp = sp - 1
+                gid = stack[sp]
+                valid = gid >= 0
+                pops = pops + valid.astype(jnp.int32)
+                row = nodes[pl.ds(jnp.maximum(gid, 0), 1), :]  # (1, 8*NL)
+
+                @pl.when(valid)
+                def _():
+                    # clear the prospective push block (stale slots would
+                    # be re-visited as live group ids)
+                    for j in range(8):
+                        stack[sp + j] = jnp.int32(-1)
+
+                pushed = jnp.bool_(False)
                 for j in range(8):
-                    stack[sp + j] = jnp.int32(-1)
+                    base = j * NODE_LANES
+                    if frustum:
+                        any_hit = child_hit_frustum(row, base, tb_max) & valid
+                    else:
+                        # dead rows (t_best = -inf) fail tn < t_best, so
+                        # the packet-OR below spans only the live subgroup
+                        t0x = (row[0, base + 0] - o[0]) * inv[0]
+                        t0y = (row[0, base + 1] - o[1]) * inv[1]
+                        t0z = (row[0, base + 2] - o[2]) * inv[2]
+                        t1x = (row[0, base + 3] - o[0]) * inv[0]
+                        t1y = (row[0, base + 4] - o[1]) * inv[1]
+                        t1z = (row[0, base + 5] - o[2]) * inv[2]
+                        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                                     jnp.minimum(t0y, t1y)),
+                                         jnp.minimum(t0z, t1z))
+                        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                                     jnp.maximum(t0y, t1y)),
+                                         jnp.maximum(t0z, t1z)) * g3
+                        active = (tn <= tf) & (tf > 0.0) & (tn < t_best)
+                        any_hit = jnp.any(active) & valid
 
-            pushed = jnp.bool_(False)
-            for j in range(8):
-                base = j * NODE_LANES
-                if frustum:
-                    any_hit = child_hit_frustum(row, base, tb_max) & valid
-                else:
-                    t0x = (row[0, base + 0] - o[0]) * inv[0]
-                    t0y = (row[0, base + 1] - o[1]) * inv[1]
-                    t0z = (row[0, base + 2] - o[2]) * inv[2]
-                    t1x = (row[0, base + 3] - o[0]) * inv[0]
-                    t1y = (row[0, base + 4] - o[1]) * inv[1]
-                    t1z = (row[0, base + 5] - o[2]) * inv[2]
-                    tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                                 jnp.minimum(t0y, t1y)),
-                                     jnp.minimum(t0z, t1z))
-                    tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                                 jnp.maximum(t0y, t1y)),
-                                     jnp.maximum(t0z, t1z)) * g3
-                    active = (tn <= tf) & (tf > 0.0) & (tn < t_best)
-                    any_hit = jnp.any(active) & valid
+                    child_g = row[0, base + 6].astype(jnp.int32)
+                    cnt = row[0, base + 8].astype(jnp.int32)
+                    is_leaf = child_g < 0
+                    push_j = any_hit & ~is_leaf
+                    leaf_j = any_hit & is_leaf & (cnt > 0)
 
-                child_g = row[0, base + 6].astype(jnp.int32)
-                cnt = row[0, base + 8].astype(jnp.int32)
-                is_leaf = child_g < 0
-                push_j = any_hit & ~is_leaf
-                leaf_j = any_hit & is_leaf & (cnt > 0)
-
-                @pl.when(push_j)
-                def _():
-                    # position so the nearest child (j == octant) pops first
-                    stack[sp + 7 - (j ^ octant)] = child_g
-
-                n_chunks = jnp.where(leaf_j, (cnt + (CHUNK - 1)) // CHUNK, 0)
-                leaf_off = row[0, base + 7].astype(jnp.int32)
-                for k in range(cpl):
-                    @pl.when(leaf_j & (k < n_chunks))
+                    @pl.when(push_j)
                     def _():
-                        pend[npend + k] = leaf_off + CHUNK * k
+                        # position so the nearest child (j == octant)
+                        # pops first
+                        stack[sp + 7 - (j ^ octant)] = child_g
 
-                pushed = pushed | push_j
-                npend = npend + n_chunks
+                    n_chunks = jnp.where(leaf_j,
+                                         (cnt + (CHUNK - 1)) // CHUNK, 0)
+                    leaf_off = row[0, base + 7].astype(jnp.int32)
+                    for k in range(cpl):
+                        @pl.when(leaf_j & (k < n_chunks))
+                        def _():
+                            pend[npend + k] = leaf_off + CHUNK * k
 
-            sp = jnp.where(pushed, sp + 8, sp)
-            return sp, npend, pops, t_best
+                    pushed = pushed | push_j
+                    npend = npend + n_chunks
 
-        sp, npend, pops, t_best = jax.lax.while_loop(
-            walk_cond, walk_body, (sp, jnp.int32(0), pops, t_best))
+                sp = jnp.where(pushed, sp + 8, sp)
+                return sp, npend, pops, t_best
 
-        # ---- leaf phase: stream pending chunks, DMA_SLOTS-deep pipeline
-        # (per-transfer issue latency of the small CHUNK-row copies is the
-        # cost being hidden, so several must stay in flight).
-        if not skip_leaf:
-            for s in range(DMA_SLOTS - 1):
-                @pl.when(s < npend)
-                def _(s=s):
-                    leaf_dma(s, s).start()
+            sp, npend, pops, t_best = jax.lax.while_loop(
+                walk_cond, walk_body, (sp, jnp.int32(0), pops, t_best))
 
-            def flush_body(i, carry):
-                slot = jax.lax.rem(i, DMA_SLOTS)
-                nxt = i + DMA_SLOTS - 1
+            # ---- leaf phase: stream pending chunks, DMA_SLOTS-deep
+            # pipeline (per-transfer issue latency of the small CHUNK-row
+            # copies is the cost being hidden, so several must stay in
+            # flight).
+            if not skip_leaf:
+                for s in range(DMA_SLOTS - 1):
+                    @pl.when(s < npend)
+                    def _(s=s):
+                        leaf_dma(s, s).start()
 
-                @pl.when(nxt < npend)
-                def _():
-                    leaf_dma(nxt, jax.lax.rem(nxt, DMA_SLOTS)).start()
+                def flush_body(i, carry):
+                    slot = jax.lax.rem(i, DMA_SLOTS)
+                    nxt = i + DMA_SLOTS - 1
 
-                leaf_dma(i, slot).wait()
-                return leaf_test(slot, pend[i], carry)
+                    @pl.when(nxt < npend)
+                    def _():
+                        leaf_dma(nxt, jax.lax.rem(nxt, DMA_SLOTS)).start()
 
-            t_best, row_b, b1_b, b2_b = jax.lax.fori_loop(
-                0, npend, flush_body, (t_best, row_b, b1_b, b2_b))
-        tests = tests + npend * jnp.int32(CHUNK)
-        if anyhit:
-            # Shadow-ray semantics: a found ray needs no more work. -inf
-            # fails every node test (tn < t_best) including origin-inside
-            # nodes (tn < 0); when the whole packet is done, drain the stack.
-            t_best = jnp.where(row_b >= 0, -jnp.inf, t_best)
-            done = (row_b >= 0) | (t_best == -jnp.inf)
-            sp = jnp.where(jnp.all(done), jnp.int32(0), sp)
-        return sp, tests, pops, t_best, row_b, b1_b, b2_b
+                    leaf_dma(i, slot).wait()
+                    return leaf_test(slot, pend[i], carry)
 
-    def outer_cond(state):
-        return state[0] > 0
+                t_best, row_b, b1_b, b2_b = jax.lax.fori_loop(
+                    0, npend, flush_body, (t_best, row_b, b1_b, b2_b))
+            tests = tests + npend * jnp.int32(CHUNK)
+            if anyhit:
+                # Shadow-ray semantics: a found ray needs no more work.
+                # -inf fails every node test (tn < t_best) including
+                # origin-inside nodes (tn < 0); when the whole subgroup is
+                # done, drain the stack. (Dead rows are -inf already.)
+                t_best = jnp.where(row_b >= 0, -jnp.inf, t_best)
+                done = (row_b >= 0) | (t_best == -jnp.inf)
+                sp = jnp.where(jnp.all(done), jnp.int32(0), sp)
+            return sp, tests, pops, t_best, row_b, b1_b, b2_b
 
-    init = (jnp.int32(1), jnp.int32(0), jnp.int32(0), tmax,
-            jnp.full((ray_sub, RAY_LANES), -1, jnp.int32),
-            jnp.zeros((ray_sub, RAY_LANES), jnp.float32),
-            jnp.zeros((ray_sub, RAY_LANES), jnp.float32))
-    sp, tests, pops, t_best, row_b, b1_b, b2_b = jax.lax.while_loop(
-        outer_cond, outer_body, init)
+        def outer_cond(state):
+            return state[0] > 0
 
-    t_out[:, 0, :] = t_best
-    row_out[:, 0, :] = row_b
-    b1_out[:, 0, :] = b1_b
-    b2_out[:, 0, :] = b2_b
-    cnt_out[:, 0, :] = jnp.broadcast_to(tests, (ray_sub, RAY_LANES))
-    pop_out[:, 0, :] = jnp.broadcast_to(pops, (ray_sub, RAY_LANES))
+        init = (jnp.int32(1), tests_total, pops_total, tmax,
+                jnp.full((RAY_SUB, RAY_LANES), -1, jnp.int32),
+                jnp.zeros((RAY_SUB, RAY_LANES), jnp.float32),
+                jnp.zeros((RAY_SUB, RAY_LANES), jnp.float32))
+        sp, tests_total, pops_total, t_best, row_b, b1_b, b2_b = \
+            jax.lax.while_loop(outer_cond, outer_body, init)
+
+        if mask_g is None:
+            out_t, out_row, out_b1, out_b2 = t_best, row_b, b1_b, b2_b
+        else:
+            out_t = jnp.where(mask_g, t_best, out_t)
+            out_row = jnp.where(mask_g, row_b, out_row)
+            out_b1 = jnp.where(mask_g, b1_b, out_b1)
+            out_b2 = jnp.where(mask_g, b2_b, out_b2)
+
+    t_out[:] = out_t
+    row_out[:] = out_row
+    b1_out[:] = out_b1
+    b2_out[:] = out_b2
+    cnt_out[:] = jnp.broadcast_to(tests_total, (RAY_SUB, RAY_LANES))
+    pop_out[:] = jnp.broadcast_to(pops_total, (RAY_SUB, RAY_LANES))
 
 
 @functools.partial(jax.custom_jvp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
 def _octree_pallas(rays, nodes, verts, cap, interpret, anyhit=False,
-                   pend_size=PEND_SIZE, skip_leaf=False, frustum=True,
+                   pend_size=PEND_SIZE, skip_leaf=False, frustum=False,
                    ray_sub=RAY_SUB):
     return _octree_pallas_impl(rays, nodes, verts, cap, interpret, anyhit,
                                pend_size, skip_leaf, frustum, ray_sub)
@@ -536,26 +588,28 @@ def _octree_pallas_jvp(cap, interpret, anyhit, pend_size, skip_leaf,
 
 
 def _octree_pallas_impl(rays, nodes, verts, cap, interpret, anyhit,
-                        pend_size, skip_leaf=False, frustum=True,
+                        pend_size, skip_leaf=False, frustum=False,
                         ray_sub=RAY_SUB):
     # rays: (7, n_rows, RAY_LANES) — split into 7 per-component
-    # (n_rows, 1, RAY_LANES) operands; outputs (n_rows, 1, RAY_LANES)
-    # (see _traverse_kernel for the layout rationale).
+    # (1, n_rows, RAY_LANES) operands read in (1, RAY_SUB, RAY_LANES)
+    # blocks; outputs are plain (n_rows, RAY_LANES) in (RAY_SUB, RAY_LANES)
+    # blocks (see _traverse_kernel for why the leading-unit-axis layout;
+    # narrow ray_sub packets are sub-walks inside the 8-row block).
     n_rows = rays.shape[1]
-    grid = (n_rows // ray_sub,)
+    grid = (n_rows // RAY_SUB,)
 
-    ray_spec = pl.BlockSpec((ray_sub, 1, RAY_LANES), lambda i: (i, 0, 0),
+    ray_spec = pl.BlockSpec((1, RAY_SUB, RAY_LANES), lambda i: (0, i, 0),
                             memory_space=pltpu.VMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((ray_sub, 1, RAY_LANES), lambda i: (i, 0, 0),
+    out_spec = pl.BlockSpec((RAY_SUB, RAY_LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     out_shapes = (
-        jax.ShapeDtypeStruct((n_rows, 1, RAY_LANES), jnp.float32),
-        jax.ShapeDtypeStruct((n_rows, 1, RAY_LANES), jnp.int32),
-        jax.ShapeDtypeStruct((n_rows, 1, RAY_LANES), jnp.float32),
-        jax.ShapeDtypeStruct((n_rows, 1, RAY_LANES), jnp.float32),
-        jax.ShapeDtypeStruct((n_rows, 1, RAY_LANES), jnp.int32),
-        jax.ShapeDtypeStruct((n_rows, 1, RAY_LANES), jnp.int32),
+        jax.ShapeDtypeStruct((n_rows, RAY_LANES), jnp.float32),
+        jax.ShapeDtypeStruct((n_rows, RAY_LANES), jnp.int32),
+        jax.ShapeDtypeStruct((n_rows, RAY_LANES), jnp.float32),
+        jax.ShapeDtypeStruct((n_rows, RAY_LANES), jnp.float32),
+        jax.ShapeDtypeStruct((n_rows, RAY_LANES), jnp.int32),
+        jax.ShapeDtypeStruct((n_rows, RAY_LANES), jnp.int32),
     )
 
     # Scoped-VMEM budget: the resident node table + leaf double-buffer +
@@ -583,12 +637,12 @@ def _octree_pallas_impl(rays, nodes, verts, cap, interpret, anyhit,
             vmem_limit_bytes=vmem_limit),
         interpret=interpret,
     )
-    args = [rays[k].reshape(n_rows, 1, RAY_LANES) for k in range(7)]
+    args = [rays[k].reshape(1, n_rows, RAY_LANES) for k in range(7)]
     return kernel(*args, nodes, verts)
 
 
 def octree_anyhit_pallas(o, d, t_max, packed: PackedOctree, interpret=None,
-                         ray_sub=None, frustum=True):
+                         ray_sub=None, frustum=False):
     """Shadow-ray any-hit: True where ANY triangle lies in (0, t_max).
     Early-exits per ray (first hit poisons its t_best) and drains the stack
     once the whole packet is done — the IntersectP fast path."""
@@ -601,7 +655,7 @@ def octree_anyhit_pallas(o, d, t_max, packed: PackedOctree, interpret=None,
 def octree_intersect_pallas(o, d, t_max, packed: PackedOctree,
                             interpret=None, anyhit=False,
                             pend_size=None, skip_leaf=False,
-                            return_stats=False, frustum=True,
+                            return_stats=False, frustum=False,
                             ray_sub=None):
     """Drop-in for octree_traverse backed by the packet kernel. Returns
     (t, tri_idx, b1, b2, tri_tests) with the usual conventions (with
@@ -631,8 +685,7 @@ def octree_intersect_pallas(o, d, t_max, packed: PackedOctree,
         f"8 leaves x {cpl} chunks — the walk loop would never admit a pop")
     batch_shape = o.shape[:-1]
     n = int(np.prod(batch_shape)) if batch_shape else 1
-    tile_r = ray_sub * RAY_LANES
-    n_pad = -(-n // tile_r) * tile_r
+    n_pad = -(-n // TILE_R) * TILE_R    # blocks are always 8x128 rays
 
     o2 = o.reshape(-1, 3)
     d2 = d.reshape(-1, 3)
@@ -642,7 +695,11 @@ def octree_intersect_pallas(o, d, t_max, packed: PackedOctree,
     rays = rays.at[3:6, :n].set(d2.T)
     rays = rays.at[5, n:].set(1.0)
     rays = rays.at[6, :n].set(tm)
-    rays = rays.at[6, n:].set(-1.0)     # padded rays: dead
+    # padded rays: fully dead. -inf (not just a negative t_max) so the
+    # closest-hit walk's `tn < t_best` can never admit a node for them
+    # (tn can be an arbitrarily negative finite number for an origin
+    # inside the scene box).
+    rays = rays.at[6, n:].set(-jnp.inf)
     rays = rays.reshape(7, n_pad // RAY_LANES, RAY_LANES)
 
     t, row, b1, b2, cnt, pops = _octree_pallas(
