@@ -234,17 +234,43 @@ def build_octree(mesh: trimod.MeshData, capacity=TRIANGLE_CAPACITY,
     if padding is None:
         padding = CHILD_PADDING_FRAC * float(
             (pos_np.max(axis=0) - pos_np.min(axis=0)).max())
-    tree = None
-    if backend in ("auto", "native"):
-        tree = _build_octree_native(pos_np, idx_np, capacity, max_depth,
-                                    padding)
-        if tree is None and backend == "native":
-            raise RuntimeError("native octree builder unavailable "
-                               "(g++ compile failed?)")
-    if tree is None:
-        tree = _build_octree_numpy(pos_np, idx_np, capacity, max_depth,
-                                   padding)
-    tree_np = _split_oversized_leaves(tree, capacity)
+
+    # Content-keyed disk cache of the built (post-split) host tree
+    # (utils.asset_cache, the reference's modelCache analog): the 327k-tri
+    # native build+split costs ~1.8 s per fresh process. Keyed by a hash
+    # of the exact mesh bytes + every build parameter, so a cached tree is
+    # bit-identical to a rebuilt one. CRT_OCTREE_CACHE=0 disables.
+    import hashlib
+    import os as _os
+    from computational_ray_tracer_tpu.utils import asset_cache
+    cache_on = _os.environ.get("CRT_OCTREE_CACHE", "1") != "0"
+    tree_np = None
+    _FIELDS = ("node_lo", "node_hi", "node_child0", "node_leaf_id",
+               "leaf_tris", "leaf_counts")
+    if cache_on:
+        h = hashlib.blake2b(digest_size=16)
+        h.update(pos_np.tobytes())
+        h.update(idx_np.tobytes())
+        h.update(f"v1_c{capacity}_d{max_depth}_p{padding!r}".encode())
+        key = f"octree_{h.hexdigest()}"
+        hit = asset_cache.load(key)
+        if hit is not None and all(f in hit for f in _FIELDS):
+            tree_np = Octree(**{f: hit[f] for f in _FIELDS})
+    if tree_np is None:
+        tree = None
+        if backend in ("auto", "native"):
+            tree = _build_octree_native(pos_np, idx_np, capacity, max_depth,
+                                        padding)
+            if tree is None and backend == "native":
+                raise RuntimeError("native octree builder unavailable "
+                                   "(g++ compile failed?)")
+        if tree is None:
+            tree = _build_octree_numpy(pos_np, idx_np, capacity, max_depth,
+                                       padding)
+        tree_np = _split_oversized_leaves(tree, capacity)
+        if cache_on:
+            asset_cache.store(key, **{f: getattr(tree_np, f)
+                                      for f in _FIELDS})
     tree_dev = Octree(
         node_lo=jnp.asarray(tree_np.node_lo),
         node_hi=jnp.asarray(tree_np.node_hi),

@@ -175,7 +175,17 @@ def displaced_icosphere(subdiv=7, radius=1.0, center=(0.0, 0.0, 0.0),
     """Dragon-class test mesh: an icosphere with multi-octave sinusoidal
     radial displacement — high triangle count with the non-uniform spatial
     density an octree has to cope with (stand-in for the absent
-    stanford-dragon asset, SURVEY §7 hard parts)."""
+    stanford-dragon asset, SURVEY §7 hard parts).
+
+    Disk-cached (utils.asset_cache, the MeshCache analog): regeneration
+    costs ~2.3 s host NumPy at subdiv 7 and dominated bench scene builds.
+    """
+    from computational_ray_tracer_tpu.utils import asset_cache
+    key = (f"displaced_icosphere_v1_s{subdiv}_r{radius}_c{center[0]}_"
+           f"{center[1]}_{center[2]}_a{amplitude}_seed{seed}")
+    hit = asset_cache.load(key)
+    if hit is not None:
+        return hit["verts"], hit["faces"], hit["uvs"]
     verts, faces, uvs = icosphere(subdiv, 1.0, (0.0, 0.0, 0.0))
     rng_ = np.random.RandomState(seed)
     disp = np.zeros(verts.shape[0])
@@ -188,7 +198,10 @@ def displaced_icosphere(subdiv=7, radius=1.0, center=(0.0, 0.0, 0.0),
                      * np.sin(freq * (verts @ k[j]) + phase[j]))
     verts = verts * (1.0 + disp[:, None] / 3.0)
     verts = np.asarray(center, np.float64) + radius * verts
-    return (verts.astype(np.float32), faces.astype(np.int32), uvs)
+    out = (verts.astype(np.float32), faces.astype(np.int32),
+           uvs.astype(np.float32))
+    asset_cache.store(key, verts=out[0], faces=out[1], uvs=out[2])
+    return out
 
 
 def checker_texture(n=64, c0=(0.9, 0.9, 0.9), c1=(0.15, 0.15, 0.55)):
