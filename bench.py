@@ -323,8 +323,23 @@ def bench_grad_check():
             "ok": bool(max_rel < 1e-3)}
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache (works through the remote TPU
+    compile helper: flagship first-pass compile measured 52.7 s cold ->
+    15.1 s warm across processes). Opt out with CRT_XLA_CACHE=0."""
+    if os.environ.get("CRT_XLA_CACHE", "1") == "0":
+        return
+    import jax
+    path = os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".cache", "xla")
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+
 def main():
     import jax
+    _enable_compile_cache()
 
     res = _env("BENCH_RES", 256)
     spp = _env("BENCH_SPP", 1024)

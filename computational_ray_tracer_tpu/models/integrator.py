@@ -556,38 +556,35 @@ def _compact_fns(cfg: RenderConfig, mode: str, camera, filter_obj, sensor):
     def count_alive(alive):
         return jnp.sum(alive.astype(jnp.int32))
 
-    @partial(jax.jit, static_argnames=("bucket",))
-    def select(alive, d, o, bucket):
+    @jax.jit
+    def select_order(alive, d, o):
         # Packet coherence for the octree kernel needs BOTH direction and
-        # origin locality: its walk prunes with a per-packet frustum hull
-        # [o_lo,o_hi] x [inv_lo,inv_hi], so a packet of same-octant rays
-        # scattered across the scene still visits most of the tree. Sort
-        # key = (alive, direction octant, 8^3 Morton cell of the origin).
-        octant = ((d[..., 0] < 0) * 4 + (d[..., 1] < 0) * 2
-                  + (d[..., 2] < 0)).astype(jnp.int32)
-        lo = jnp.min(jnp.where(alive[..., None], o, jnp.inf), axis=0)
-        hi = jnp.max(jnp.where(alive[..., None], o, -jnp.inf), axis=0)
-        q = jnp.clip(((o - lo) / jnp.maximum(hi - lo, 1e-20) * 8.0)
-                     .astype(jnp.int32), 0, 7)
+        # origin locality, so alive rays sort by (direction octant, 8^3
+        # Morton cell of the origin), dead rays last — the shared key of
+        # scene._packet_order. Compiled ONCE on the full wavefront (the
+        # radix sort, not lax.sort — see scene.radix_order); the caller
+        # slices the first `bucket` entries outside jit, so no per-bucket
+        # recompile of the sort.
+        from computational_ray_tracer_tpu.models.scene import _packet_order
+        return _packet_order(o, d, alive)
 
-        def spread3(v):     # 3-bit -> every 3rd bit (Morton interleave)
-            v = (v | (v << 4)) & 0x0C3
-            return (v | (v << 2)) & 0x249
-
-        morton = spread3(q[..., 0]) | (spread3(q[..., 1]) << 1) \
-            | (spread3(q[..., 2]) << 2)
-        key = jnp.where(alive, octant * 512 + morton, jnp.int32(1 << 14))
-        return jnp.argsort(key, stable=True)[:bucket]
+    def select(alive, d, o, bucket):
+        return select_order(alive, d, o)[:bucket]
 
     @jax.jit
     def gather(state, pixel, idx):
         sub = jax.tree_util.tree_map(lambda a: a[idx], state)
         return sub, pixel[idx]
 
-    @partial(jax.jit, static_argnames=("coherent",))
-    def bounce_sub(scene, sub, depth, pixel_sub, sample_idx, coherent):
+    @jax.jit
+    def bounce_sub(scene, sub, depth, pixel_sub, sample_idx):
+        # One program per BUCKET SIZE only. The former static `coherent`
+        # flag compiled a separate depth-0 program whose only difference
+        # was the packet kwargs of the closest-hit kernel — and with the
+        # r4 kernel defaults (rs8, no frustum) those are identical anyway,
+        # while NEE shadow rays always take the sorted incoherent path.
         new, _ = _bounce_step(scene, cfg, mode, sub, depth, pixel_sub,
-                              sample_idx, coherent=coherent)
+                              sample_idx, coherent=False)
         return new
 
     @jax.jit
@@ -595,7 +592,11 @@ def _compact_fns(cfg: RenderConfig, mode: str, camera, filter_obj, sensor):
         return {k: state[k].at[idx].set(sub_new[k]) for k in state}
 
     @jax.jit
-    def epilogue(state, fw):
+    def epilogue(state, fw, pixel_cur):
+        # State rows may be a PERMUTATION of the launch order (full-bucket
+        # depths permute in place instead of scattering back); pixel_cur
+        # names each row's pixel, so the film is assembled by pixel-id
+        # scatter. fw rows are still in prologue (swizzle) order.
         w, h = cfg.resolution
         wl_out = spec.SampledWavelengths(state["lam"], state["lam_pdf"])
         rgb = sensor.to_sensor_rgb(state["L"], wl_out)
@@ -603,11 +604,10 @@ def _compact_fns(cfg: RenderConfig, mode: str, camera, filter_obj, sensor):
             rgb = jnp.clip(rgb, 0.0, cfg.clamp)
         else:
             rgb = jnp.maximum(rgb, 0.0)
-        _, inv = _swizzled_pixels(w, h)
-        if inv is not None:
-            rgb = rgb[inv]
-            fw = fw[inv]
-        return rgb.reshape(h, w, 3), fw.reshape(h, w)
+        pixel0, _ = _swizzled_pixels(w, h)
+        rgb_flat = jnp.zeros((w * h, 3)).at[pixel_cur].set(rgb)
+        fw_flat = jnp.zeros((w * h,)).at[pixel0].set(fw)
+        return rgb_flat.reshape(h, w, 3), fw_flat.reshape(h, w)
 
     fns = (prologue, count_alive, select, gather, bounce_sub, scatter,
            epilogue)
@@ -634,18 +634,32 @@ def render_pass_compact(scene, camera, cfg: RenderConfig, filter_obj,
         k = int(count_alive(state["alive"]))            # host sync
         if k == 0:
             break
-        coh = depth == 0        # camera wavefront vs incoherent bounces
-        bucket = min(n, -(-k // q) * q)
-        if bucket >= n:
+        # Buckets above n/2 round UP to the full wavefront: an in-place
+        # sort (permute state + pixel, no scatter-back) reuses the
+        # full-size bounce program instead of compiling a fresh odd-size
+        # program per pass (an intermediate-size bounce compile measured
+        # 28.6 s on the flagship — more than the full-size one).
+        bucket = n if k > n // 2 else min(n, -(-k // q) * q)
+        if depth == 0 and bucket >= n:
+            # Camera wavefront: the tile-swizzled launch order IS the
+            # coherent order. The (octant, Morton-of-origin) resort keys
+            # on the random LENS position for a thin-lens camera and
+            # shuffles tiles into noise (measured: 579 -> 2127 ms for the
+            # depth-0 flagship bounce).
             state = bounce_sub(scene, state, jnp.uint32(depth), pixel,
-                               jnp.uint32(sample_idx), coherent=coh)
+                               jnp.uint32(sample_idx))
+            continue
+        idx = select(state["alive"], state["d"], state["o"], bucket)
+        if bucket >= n:
+            state, pixel = gather(state, pixel, idx)
+            state = bounce_sub(scene, state, jnp.uint32(depth), pixel,
+                               jnp.uint32(sample_idx))
         else:
-            idx = select(state["alive"], state["d"], state["o"], bucket)
             sub, pixel_sub = gather(state, pixel, idx)
             sub_new = bounce_sub(scene, sub, jnp.uint32(depth), pixel_sub,
-                                 jnp.uint32(sample_idx), coherent=coh)
+                                 jnp.uint32(sample_idx))
             state = scatter(state, sub_new, idx)
-    return epilogue(state, fw)
+    return epilogue(state, fw, pixel)
 
 
 def render_passes(scene, camera, cfg: RenderConfig, filter_obj, sensor,

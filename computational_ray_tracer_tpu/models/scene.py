@@ -172,6 +172,34 @@ def _packet_kwargs(coherent):
     return {"ray_sub": INCOH_RAY_SUB, "frustum": INCOH_FRUSTUM}
 
 
+def radix_order(key, n_bits=15, bits_per_pass=4):
+    """Stable ascending argsort of small-range non-negative int32 keys via
+    LSD radix passes built from cumsum + scatter.
+
+    Semantically identical to ``jnp.argsort(key, stable=True)`` for keys in
+    [0, 2^n_bits), but compiles ~10x faster on TPU: ``lax.sort`` of a 262k
+    wavefront costs ~20 s of XLA compile time PER SHAPE (the dominant term
+    of the r3 flagship's 105 s first-pass compile), while the radix passes
+    are plain cumsum/gather/scatter HLOs."""
+    n = key.shape[0]
+    r = 1 << bits_per_pass
+    perm = jnp.arange(n, dtype=jnp.int32)
+    k = key.astype(jnp.int32)
+    for shift in range(0, n_bits, bits_per_pass):
+        digit = (k >> shift) & (r - 1)                     # (N,)
+        onehot = (digit[:, None] == jnp.arange(r, dtype=jnp.int32))
+        oh32 = onehot.astype(jnp.int32)
+        within = jnp.cumsum(oh32, axis=0) - 1              # rank among digit
+        counts = within[-1] + 1                            # (r,)
+        offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                   jnp.cumsum(counts)[:-1]])
+        rank = jnp.sum(jnp.where(onehot, within, 0), axis=1)
+        pos = offsets[digit] + rank
+        perm = jnp.zeros((n,), jnp.int32).at[pos].set(perm)
+        k = jnp.zeros((n,), jnp.int32).at[pos].set(k)
+    return perm
+
+
 def _packet_order(o, d, alive):
     """Sort permutation grouping rays by (direction octant, 8^3 Morton
     cell of origin), dead rays last — the same key the compacted bounce
@@ -194,7 +222,7 @@ def _packet_order(o, d, alive):
     morton = spread3(q[..., 0]) | (spread3(q[..., 1]) << 1) \
         | (spread3(q[..., 2]) << 2)
     key = jnp.where(alive, octant * 512 + morton, jnp.int32(1 << 14))
-    return jnp.argsort(key, stable=True)
+    return radix_order(key)
 
 
 def _mesh_closest_hit(scene, o, d, t_best, coherent=True):
