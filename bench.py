@@ -184,6 +184,83 @@ def bench_dragon():
     }
 
 
+def bench_dragon870():
+    """Reference-scale irregular mesh (VERDICT r4 item 4): the ~870k-tri
+    x15-scale dragon stand-in (mesh_gen.dragon_stand_in — blob radii and
+    subdivision levels spanning orders of magnitude, tri-area p99/p1
+    ~1300x) through the packed octree, direct lighting at 512^2, with the
+    leaf-table footprint and device HBM peak recorded."""
+    import jax
+    import jax.numpy as jnp
+    from computational_ray_tracer_tpu.models.scene import Scene
+    from computational_ray_tracer_tpu.models import integrator as integ
+    from computational_ray_tracer_tpu.ops import camera as cam
+    from computational_ray_tracer_tpu.ops import triangle as trimod
+    from computational_ray_tracer_tpu.utils import mesh_gen
+
+    res = _env("BENCH_MESH_RES", 512)
+    spp = _env("BENCH_MESH_SPP", 4)
+    cap = _env("BENCH_MESH_CAP", 40)
+
+    t0 = time.perf_counter()
+    v, f, uv = mesh_gen.dragon_stand_in()
+    mesh = trimod.MeshData.build(v, f, uvs=uv)
+    scene = Scene.build(
+        materials=[{"kind": "diffuse", "albedo_rgb": (0.7, 0.64, 0.52)}],
+        lights=[{"kind": "distant", "direction": (-0.4, -1.0, 0.5),
+                 "rgb": (1.0, 1.0, 1.0), "scale": 4.0},
+                {"kind": "ambient", "spd_named": "stdillum-D65",
+                 "scale": 0.15}],
+        mesh=(mesh, jnp.zeros((mesh.n_triangles,), jnp.int32)),
+        use_octree=True, octree_capacity=cap)
+    build_dt = time.perf_counter() - t0
+    camera = cam.PerspectiveCamera.create((0, 12, -52), (res, res),
+                                          fov_y=45.0, look_at=(0, -1, 0))
+    cfg = integ.RenderConfig(
+        resolution=(res, res),
+        sampler=integ.SamplerConfig(kind="sobol", spp=spp),
+        integrator="direct", max_depth=1)
+    filter_obj = integ.make_filter(cfg)
+    sensor = integ.make_sensor(cfg)
+
+    @jax.jit
+    def one_pass(scene, sample_idx):
+        return integ.render_pass(scene, camera, cfg, filter_obj, sensor,
+                                 sample_idx)
+
+    t0 = time.perf_counter()
+    rgb, wt = one_pass(scene, jnp.uint32(0))
+    jax.block_until_ready((rgb, wt))
+    compile_dt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for i in range(spp):
+        rgb, wt = one_pass(scene, jnp.uint32(i + 1))
+    jax.block_until_ready((rgb, wt))
+    dt = (time.perf_counter() - t0) / spp
+
+    pk = scene.packed_octree
+    mem = {}
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        for k in ("bytes_in_use", "peak_bytes_in_use", "bytes_limit"):
+            if k in stats:
+                mem[k + "_mb"] = round(stats[k] / 2**20)
+    except Exception:
+        pass
+    return {
+        "n_triangles": int(scene.mesh.n_triangles),
+        "leaf_cap": cap,
+        "rays_per_sec": round(res * res * 2 / dt, 1),
+        "sec_per_spp_pass": round(dt, 4),
+        "octree": scene.octree.info(),
+        "leaf_table_mb": round(int(pk.leaf_verts.size) * 4 / 2**20),
+        "hbm": mem,
+        "scene_build_sec": round(build_dt, 1),
+        "compile_sec": round(compile_dt, 1),
+        "img_mean": round(float(jnp.mean(rgb)), 5),
+    }
+
+
 def bench_flagship(dragon_scene=None):
     """The reference's canonical end-to-end workload
     (RayTracerTestApp.h:70-189): dragon-class textured mesh + octree +
@@ -349,6 +426,8 @@ def main():
     dragon_scene = None
     if os.environ.get("BENCH_MESH", "1") != "0":
         dragon_scene, detail["mesh"] = bench_dragon()
+    if os.environ.get("BENCH_MESH870", "1") != "0":
+        detail["mesh870"] = bench_dragon870()
     if os.environ.get("BENCH_FLAGSHIP", "1") != "0":
         detail["flagship"] = bench_flagship(dragon_scene)
     if os.environ.get("BENCH_GOLDEN", "1") != "0":

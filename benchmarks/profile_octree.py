@@ -101,8 +101,7 @@ def main():
         # --- staged build timing
         t0 = time.perf_counter()
         pos_np, idx_np = octmod.host_mesh_arrays(mesh)
-        padding = octmod.CHILD_PADDING_FRAC * float(
-            (pos_np.max(axis=0) - pos_np.min(axis=0)).max())
+        padding = octmod.CHILD_PADDING_FRAC   # child-extent fraction (r4)
         tree_np = octmod._build_octree_native(pos_np, idx_np, cap,
                                               octmod.MAX_DEPTH, padding)
         t_build = time.perf_counter() - t0

@@ -52,8 +52,7 @@ def main():
     jax.block_until_ready(mesh.positions)
 
     pos_np, idx_np = octmod.host_mesh_arrays(mesh)
-    padding = octmod.CHILD_PADDING_FRAC * float(
-        (pos_np.max(axis=0) - pos_np.min(axis=0)).max())
+    padding = octmod.CHILD_PADDING_FRAC   # child-extent fraction (r4)
     tree_np = octmod._build_octree_native(pos_np, idx_np, args.cap,
                                           octmod.MAX_DEPTH, padding)
     tree_np = octmod._split_oversized_leaves(tree_np, args.cap)

@@ -172,6 +172,14 @@ int crt_build_octree(const float* positions, int64_t n_verts,
 
         double mid[3] = {(lo[0] + hi[0]) / 2.0, (lo[1] + hi[1]) / 2.0,
                          (lo[2] + hi[2]) / 2.0};
+        // Padding is a FRACTION of the child box extent (per axis, per
+        // level) — an absolute pad is either negligible at the root or
+        // larger than the boxes themselves at depth 10+, where it made
+        // every fine-region triangle a member of all neighboring leaves
+        // (870k-tri mixed-scale mesh: 16+ average leaf memberships).
+        double pad[3] = {padding * (hi[0] - lo[0]) * 0.5,
+                         padding * (hi[1] - lo[1]) * 0.5,
+                         padding * (hi[2] - lo[2]) * 0.5};
         std::vector<int32_t> child_sets[8];
         double child_lo[8][3], child_hi[8][3];
         double centers[8][3], halves[8][3];
@@ -185,7 +193,7 @@ int crt_build_octree(const float* positions, int64_t n_verts,
             double chi[3] = {ix == 0 ? mid[0] : hi[0],
                              iy == 0 ? mid[1] : hi[1],
                              iz == 0 ? mid[2] : hi[2]};
-            for (int i = 0; i < 3; ++i) { clo[i] -= padding; chi[i] += padding; }
+            for (int i = 0; i < 3; ++i) { clo[i] -= pad[i]; chi[i] += pad[i]; }
             for (int i = 0; i < 3; ++i) {
                 centers[ci][i] = (clo[i] + chi[i]) / 2.0;
                 halves[ci][i] = (chi[i] - clo[i]) / 2.0;
@@ -206,8 +214,8 @@ int crt_build_octree(const float* positions, int64_t n_verts,
             bool ov[3][2];
             for (int i = 0; i < 3; ++i) {
                 double a = tlo[(size_t)t * 3 + i], b = thi[(size_t)t * 3 + i];
-                ov[i][0] = (a <= mid[i] + padding) && (b >= lo[i] - padding);
-                ov[i][1] = (a <= hi[i] + padding) && (b >= mid[i] - padding);
+                ov[i][0] = (a <= mid[i] + pad[i]) && (b >= lo[i] - pad[i]);
+                ov[i][1] = (a <= hi[i] + pad[i]) && (b >= mid[i] - pad[i]);
             }
             for (int ix = 0; ix < 2; ++ix) {
                 if (!ov[0][ix]) continue;

@@ -220,8 +220,14 @@ def build_octree(mesh: trimod.MeshData, capacity=TRIANGLE_CAPACITY,
     backend: "native" (C++ builder), "numpy", or "auto" (native when
     available, else numpy). Both produce identical trees.
 
-    padding: absolute child-bounds pad; None = CHILD_PADDING_FRAC x root
-    max extent (scale-invariant equivalent of the reference's 0.01).
+    padding: child-bounds pad as a FRACTION of each child box's extent
+    (per axis, per level); None = CHILD_PADDING_FRAC. The reference's
+    absolute 0.01 pad (Octtree_Model.h:288) is scale-dependent AND
+    depth-dependent: at depth 10+ any absolute pad exceeds the boxes
+    themselves and every fine-region triangle joins all neighboring
+    leaves (measured: 16.4 avg leaf memberships / 8.3 GB leaf table on an
+    870k-tri mixed-scale mesh with the old root-relative pad; 2-3 avg
+    with the level-relative pad).
 
     The whole pipeline (build + oversized-leaf split + kernel packing) stays
     in host NumPy and uploads each tensor to the device exactly ONCE —
@@ -232,8 +238,7 @@ def build_octree(mesh: trimod.MeshData, capacity=TRIANGLE_CAPACITY,
     (pallas_octree.pack_from_numpy)."""
     pos_np, idx_np = host_mesh_arrays(mesh)
     if padding is None:
-        padding = CHILD_PADDING_FRAC * float(
-            (pos_np.max(axis=0) - pos_np.min(axis=0)).max())
+        padding = CHILD_PADDING_FRAC
 
     # Content-keyed disk cache of the built (post-split) host tree
     # (utils.asset_cache, the reference's modelCache analog): the 327k-tri
@@ -361,6 +366,10 @@ def _build_octree_numpy(pos_np, idx_np, capacity=TRIANGLE_CAPACITY,
             leaves.append(tris)
             continue
         mid = (lo + hi) / 2.0
+        # padding is a FRACTION of the child box extent per axis/level
+        # (must match the native builder bit-for-bit — see
+        # native/octree_builder.cpp Split)
+        pad = padding * (np.asarray(hi) - np.asarray(lo)) * 0.5
         child_sets = []
         child_bounds = []
         for ix in (0, 1):
@@ -372,8 +381,8 @@ def _build_octree_numpy(pos_np, idx_np, capacity=TRIANGLE_CAPACITY,
                     chi = np.array([mid[0] if ix == 0 else hi[0],
                                     mid[1] if iy == 0 else hi[1],
                                     mid[2] if iz == 0 else hi[2]])
-                    clo_p = clo - padding
-                    chi_p = chi + padding
+                    clo_p = clo - pad
+                    chi_p = chi + pad
                     center = (clo_p + chi_p) / 2.0
                     half = (chi_p - clo_p) / 2.0
                     sel = _tri_box_overlap(center, half, v0[tris], v1[tris],
