@@ -170,7 +170,9 @@ def li_direct(scene, o, d, wl, pixel, sample_idx, cfg):
     t_max = jnp.full(o.shape[:-1], jnp.inf)
     si, mid, _ = scene_intersect(scene, o, d, t_max)
     mrow = mat.MaterialView.create(scene.materials, mid)
-    L = jnp.where(si.valid[..., None],
+    # Emission is one-sided (front face only), matching the quad-light
+    # convention in models/lights.py — see the note in _bounce_step.
+    L = jnp.where((si.valid & ~si.backface)[..., None],
                   mat.material_emission(mrow, wl.lam), 0.0)
 
     s = cfg.sampler
@@ -252,7 +254,15 @@ def _bounce_step(scene, cfg, mode, state, depth, pixel, sample_idx,
         # (NEE already did), mis counts it weighted against the light pdf.
         # One fused dense-table evaluation serves emission AND the eta/k the
         # BSDF sample needs below (shared interpolation weights).
+        # Emission is ONE-SIDED (front face only): the quad-light NEE model
+        # is one-sided (lights.py), and pdf_light_direction returns 0 for
+        # back-side hits — so a back-face emission hit would be counted at
+        # FULL MIS weight with no NEE counterpart, making path/walk
+        # disagree with simple by the whole back-lobe (caught by the
+        # equal-error harness: the ceiling above the Cornell light read
+        # MSE 0.02 brighter under mis than simple).
         emit, eta_s, k_s = mat.material_spectra(mrow, wl_cur.lam)
+        emit = jnp.where(si.backface[..., None], 0.0, emit)
         if use_mis:
             pdf_l_hit = lgt.pdf_light_direction(scene.lights, o, d, si.t)
             w_emit = jnp.where(

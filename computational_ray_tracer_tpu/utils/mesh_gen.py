@@ -112,13 +112,17 @@ def cornell_box(size=2.0, light_frac=0.5):
         quad((s, -s, -s), (0, 0, size), (0, size, 0), False) + (2,),    # right green (-x normal)
     ]
     # ceiling light quad slightly below the ceiling. Edge order chosen so
-    # cross(edge1, edge2) = -y: the light emits DOWNWARD (one-sided quad
-    # light convention in models/lights.py).
+    # the MESH winding normal cross(edge1, edge2) = x cross z = -y: the
+    # light emits DOWNWARD, matching the one-sided quad light in
+    # models/lights.py AND the one-sided mesh-emission rule in the
+    # integrator (front face only). (Before r4 the mesh was wound +y —
+    # harmless under the old two-sided emission, invisible-from-below
+    # under the one-sided rule.)
     lf = light_frac * size / 2.0
     lc = np.asarray([-lf, s - 0.005 * size, -lf], np.float32)
     le1 = np.asarray([2 * lf, 0, 0], np.float32)
     le2 = np.asarray([0, 0, 2 * lf], np.float32)
-    lq = quad(lc, le2, le1, False) + (3,)
+    lq = quad(lc, le1, le2, False) + (3,)
     parts.append(lq)
     pos, idx, uv, mats = merge_meshes(parts)
     return pos, idx, uv, mats, (lc, le1, le2)

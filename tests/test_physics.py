@@ -154,7 +154,9 @@ def _mis_test_scene():
     lc = np.asarray([-0.3, 1.8, -0.3], np.float32)
     le1 = np.asarray([0.6, 0.0, 0.0], np.float32)
     le2 = np.asarray([0.0, 0.0, 0.6], np.float32)
-    pos, idx, uv = mesh_gen.quad(lc, le2, le1)   # normal -y (emits down)
+    # winding normal cross(le1, le2) = x cross z = -y (emits down),
+    # matching the light table — emission is one-sided since r4
+    pos, idx, uv = mesh_gen.quad(lc, le1, le2)
     mesh = trimod.MeshData.build(pos, idx, uvs=uv)
     return Scene.build(
         materials=[{"kind": "rough_conductor", "albedo_rgb": (1, 1, 1),
