@@ -79,10 +79,14 @@ class LightTable:
             elif "spd_dense" in l:
                 spd[i] = np.asarray(l["spd_dense"], np.float32)
             elif "rgb" in l:
-                e = colorlib.RGBIlluminantSpectrum.from_rgb(
-                    jnp.asarray(l["rgb"], jnp.float32))
-                spd[i] = np.asarray(e(jnp.asarray(data.DENSE_LAMBDA,
-                                                  jnp.float32)))
+                # scene-setup math pinned to host CPU: eager dispatches on
+                # a remote-attached TPU cost seconds each (this one line
+                # was 14 s of the mesh bench's scene build)
+                with jax.default_device(jax.devices("cpu")[0]):
+                    e = colorlib.RGBIlluminantSpectrum.from_rgb(
+                        jnp.asarray(l["rgb"], jnp.float32))
+                    spd[i] = np.asarray(e(jnp.asarray(data.DENSE_LAMBDA,
+                                                      jnp.float32)))
             else:
                 spd[i] = data.ILLUM_E
             if "position" in l:

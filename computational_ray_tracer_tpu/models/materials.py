@@ -90,10 +90,14 @@ class MaterialTable:
             if "emission_dense" in m:
                 emission[i] = np.asarray(m["emission_dense"], np.float32)
             elif "emission_rgb" in m:
-                e = colorlib.RGBIlluminantSpectrum.from_rgb(
-                    jnp.asarray(m["emission_rgb"], jnp.float32))
-                lam = jnp.asarray(data.DENSE_LAMBDA, jnp.float32)
-                emission[i] = np.asarray(e(lam)) * m.get("emission_scale", 1.0)
+                # scene-setup math pinned to host CPU (remote-TPU eager
+                # dispatches cost seconds; see lights.py)
+                with jax.default_device(jax.devices("cpu")[0]):
+                    e = colorlib.RGBIlluminantSpectrum.from_rgb(
+                        jnp.asarray(m["emission_rgb"], jnp.float32))
+                    lam = jnp.asarray(data.DENSE_LAMBDA, jnp.float32)
+                    emission[i] = np.asarray(e(lam)) * m.get(
+                        "emission_scale", 1.0)
             if "metal" in m:
                 eta[i] = data.METAL_ETA[m["metal"]]
                 kk[i] = data.METAL_K[m["metal"]]
