@@ -170,17 +170,23 @@ def li_direct(scene, o, d, wl, pixel, sample_idx, cfg):
     t_max = jnp.full(o.shape[:-1], jnp.inf)
     si, mid, _ = scene_intersect(scene, o, d, t_max)
     mrow = mat.MaterialView.create(scene.materials, mid)
+    # Per-pass spectral cache (one interp of all dense tables; see
+    # _spectral_cache) — the per-site interps were fusion barriers.
+    svals = _spectral_cache(scene, wl.lam)
+    n_l = scene.lights.n_lights
+    n_m = scene.materials.kind.shape[0]
     # Emission is one-sided (front face only), matching the quad-light
     # convention in models/lights.py — see the note in _bounce_step.
     L = jnp.where((si.valid & ~si.backface)[..., None],
-                  mat.material_emission(mrow, wl.lam), 0.0)
+                  _cache_select(svals[..., n_l:n_l + n_m], mid), 0.0)
 
     s = cfg.sampler
     u_sel = s.get_1d(pixel, sample_idx, DIM_BOUNCE0)
     u_pos = s.get_2d(pixel, sample_idx, DIM_BOUNCE0 + 1)
     wr = scene.world_radius()
     wi, dist, li_val, pdf, _ = lgt.sample_light(scene.lights, si.p, si.n,
-                                                wl.lam, u_sel, u_pos, wr)
+                                                wl.lam, u_sel, u_pos, wr,
+                                                spd_vals=svals[..., :n_l])
     f, _ = mat.bsdf_eval(mrow, si.n, si.wo, wi, wl.lam, _tex_coeffs(scene, si),
                          enable_rough=scene.has_rough)
     cos_i = jnp.maximum(jnp.sum(wi * si.n, axis=-1), 0.0)
@@ -232,10 +238,25 @@ def _bounce_step(scene, cfg, mode, state, depth, pixel, sample_idx,
         mrow = mat.MaterialView.create(scene.materials, mid)
         tex = _tex_coeffs(scene, si)
 
+        # Per-pass spectral cache (see _spectral_cache): all dense-table
+        # values at this ray's hero wavelengths, interpolated once before
+        # the loop. Row selects below replace per-bounce interpolation.
+        svals = state.get("svals")
+        if svals is not None:
+            n_l = scene.lights.n_lights
+            n_m = scene.materials.kind.shape[0]
+            light_vals = svals[..., :n_l]
+            emit_vals = svals[..., n_l:n_l + n_m]
+            eta_vals = svals[..., n_l + n_m:n_l + 2 * n_m]
+            k_vals = svals[..., n_l + 2 * n_m:n_l + 3 * n_m]
+        else:
+            light_vals = None
+
         # Escaped rays collect the environment (ambient lights). Same
         # single/double-count discipline as surface emission below.
         miss = alive & ~si.valid
-        L_env, _ = lgt.env_radiance(scene.lights, wl_cur.lam)
+        L_env, _ = lgt.env_radiance(scene.lights, wl_cur.lam,
+                                    spd_vals=light_vals)
         if use_mis:
             pdf_amb = lgt.pdf_ambient_direction(scene.lights,
                                                 state["n_prev"], d)
@@ -261,7 +282,12 @@ def _bounce_step(scene, cfg, mode, state, depth, pixel, sample_idx,
         # disagree with simple by the whole back-lobe (caught by the
         # equal-error harness: the ceiling above the Cornell light read
         # MSE 0.02 brighter under mis than simple).
-        emit, eta_s, k_s = mat.material_spectra(mrow, wl_cur.lam)
+        if svals is not None:
+            emit = _cache_select(emit_vals, mid)
+            eta_s = _cache_select(eta_vals, mid)
+            k_s = _cache_select(k_vals, mid)
+        else:
+            emit, eta_s, k_s = mat.material_spectra(mrow, wl_cur.lam)
         emit = jnp.where(si.backface[..., None], 0.0, emit)
         if use_mis:
             pdf_l_hit = lgt.pdf_light_direction(scene.lights, o, d, si.t)
@@ -284,7 +310,8 @@ def _bounce_step(scene, cfg, mode, state, depth, pixel, sample_idx,
             u_pos = s.get_2d(pixel, sample_idx, dim0 + 4)
             wr = scene.world_radius()
             wi_l, dist, li_val, pdf_l, lkind = lgt.sample_light(
-                scene.lights, si.p, si.n, wl_cur.lam, u_sel, u_pos, wr)
+                scene.lights, si.p, si.n, wl_cur.lam, u_sel, u_pos, wr,
+                spd_vals=light_vals)
             f, pdf_b = mat.bsdf_eval(mrow, si.n, si.wo, wi_l, wl_cur.lam, tex,
                                      eta_k=(eta_s, k_s),
                                      enable_rough=scene.has_rough)
@@ -343,7 +370,7 @@ def _bounce_step(scene, cfg, mode, state, depth, pixel, sample_idx,
         # transmission), with the scale-relative offset
         side = jnp.sign(jnp.sum(wi * si.n, axis=-1))
         o_new = si.p + si.n * (side * eps_h)[..., None]
-        state = dict(
+        new_state = dict(
             o=jnp.where(hit[..., None], o_new, o),
             d=jnp.where(hit[..., None], wi, d),
             beta=jnp.where(alive_new[..., None], beta_new, 0.0),
@@ -354,13 +381,44 @@ def _bounce_step(scene, cfg, mode, state, depth, pixel, sample_idx,
             n_prev=jnp.where(hit[..., None], si.n, state["n_prev"]),
             lam=state["lam"],
             lam_pdf=lam_pdf)
-        return state, jnp.sum(alive.astype(jnp.float32))
+        if svals is not None:
+            new_state["svals"] = svals     # per-pass constant, rides along
+        return new_state, jnp.sum(alive.astype(jnp.float32))
 
 
-def _init_path_state(o, d, wl):
+def _spectral_cache(scene, lam):
+    """Per-ray evaluation of EVERY dense spectral table at the hero
+    wavelengths, in ONE one-hot MXU dot: (..., S, L + 3M) ordered
+    [lights.spd | materials.emission | materials.eta | materials.k].
+
+    The wavelengths are fixed for a path's whole bounce loop, but the
+    expensive part of every dense-table interpolation — the (N*S, 471)
+    one-hot weight matrix and its dot — depends ONLY on the wavelengths.
+    Evaluating the stacked tables once per pass and selecting rows per
+    bounce removes ~3 interp sites x max_depth dots from the loop
+    (measured ~2-4 ms per site per bounce at 256^2 — roughly a third of
+    the whole Cornell pass). Column results of the dot are bitwise
+    identical to the per-bounce sample_dense_rows_multi calls it
+    replaces."""
+    stack = jnp.concatenate([scene.lights.spd, scene.materials.emission,
+                             scene.materials.eta, scene.materials.k], axis=0)
+    return spec.sample_dense_multi(stack.T, lam)     # (..., S, C)
+
+
+def _cache_select(vals, idx):
+    """Static-size where-chain row select over the trailing axis:
+    vals (..., S, M), idx (...) -> (..., S). Out-of-range idx clamps to
+    row 0 (callers mask)."""
+    out = vals[..., 0]
+    for k in range(1, vals.shape[-1]):
+        out = jnp.where((idx == k)[..., None], vals[..., k], out)
+    return out
+
+
+def _init_path_state(o, d, wl, scene=None):
     n_shape = o.shape[:-1]
     S = wl.lam.shape[-1]
-    return dict(
+    state = dict(
         o=o, d=d,
         beta=jnp.ones(n_shape + (S,)),
         L=jnp.zeros(n_shape + (S,)),
@@ -371,6 +429,9 @@ def _init_path_state(o, d, wl):
         lam=wl.lam,
         lam_pdf=wl.pdf,
     )
+    if scene is not None:
+        state["svals"] = _spectral_cache(scene, wl.lam)
+    return state
 
 
 def _path_scan(scene, o, d, wl, pixel, sample_idx, cfg, mode):
@@ -384,7 +445,7 @@ def _path_scan(scene, o, d, wl, pixel, sample_idx, cfg, mode):
       power heuristic (montecarlo.balance/power_heuristic) so glossy +
       small-light scenes converge where either strategy alone is poor.
     """
-    init = _init_path_state(o, d, wl)
+    init = _init_path_state(o, d, wl, scene=scene)
 
     def bounce(state, depth):
         return _bounce_step(scene, cfg, mode, state, depth, pixel,
@@ -560,7 +621,7 @@ def _compact_fns(cfg: RenderConfig, mode: str, camera, filter_obj, sensor):
         pixel_pos = jnp.stack([px + 0.5, py + 0.5], axis=-1) + fp
         u_lens = s.get_2d(pixel, sample_idx, DIM_LENS)
         o, d = camera.generate_rays(pixel_pos, u_lens)
-        return _init_path_state(o, d, wl), pixel, fw
+        return _init_path_state(o, d, wl, scene=scene), pixel, fw
 
     @jax.jit
     def count_alive(alive):

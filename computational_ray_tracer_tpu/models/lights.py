@@ -105,11 +105,16 @@ class LightTable:
 
 
 def sample_light(table: LightTable, p, n, lam, u_light, u_pos,
-                 world_radius=100.0):
+                 world_radius=100.0, spd_vals=None):
     """Next-event sample toward one light per shading point.
 
     p, n: (..., 3) shading position/normal. lam: (..., S). u_light: (...,)
     uniform for light selection; u_pos: (..., 2) for position on the light.
+
+    ``spd_vals``: optional pre-interpolated light SPDs at the hero
+    wavelengths, (..., S, L) (the per-pass spectral cache,
+    integrator._spectral_cache) — skips the per-call dense-table
+    interpolation; values are bitwise identical to interpolating here.
 
     Returns (wi, dist, Li (..., S), pdf, light_n_dot) where pdf is the full
     solid-angle-measure pdf including the 1/n_lights selection factor, and Li
@@ -127,8 +132,14 @@ def sample_light(table: LightTable, p, n, lam, u_light, u_pos,
     e1_l = select_rows(table.edge1, li)
     e2_l = select_rows(table.edge2, li)
     scale_l = select_rows(table.scale, li)
-    spd_at = (spec.sample_dense_rows(table.spd, li, lam)
-              * scale_l[..., None])
+    if spd_vals is not None:
+        spd_interp = spd_vals[..., 0]
+        for k in range(1, nl):               # static-L where-chain select
+            spd_interp = jnp.where((li == k)[..., None], spd_vals[..., k],
+                                   spd_interp)
+    else:
+        spd_interp = spec.sample_dense_rows(table.spd, li, lam)
+    spd_at = spd_interp * scale_l[..., None]
 
     # --- point
     to_l = pos_l - p
@@ -186,15 +197,24 @@ def sample_light(table: LightTable, p, n, lam, u_light, u_pos,
     return wi, dist, li, pdf, kind
 
 
-def env_radiance(table: LightTable, lam):
+def env_radiance(table: LightTable, lam, spd_vals=None):
     """Radiance an *escaped* ray collects from the ambient/environment
     lights: Σ_ambient spd·scale at the hero wavelengths. Returns
     (L_env (..., S), n_ambient) — n_ambient is a static-shape int array used
-    for the MIS selection factor."""
+    for the MIS selection factor.
+
+    ``spd_vals``: optional per-ray pre-interpolated SPDs (..., S, L) (the
+    per-pass spectral cache). Interpolation is linear in the table, so the
+    weighted sum over pre-interpolated lights equals interpolating the
+    weighted-sum curve (up to f32 reassociation ~1e-7)."""
     is_amb = table.kind == AMBIENT
     w = jnp.where(is_amb, table.scale, 0.0)           # (L,)
-    spd = jnp.einsum("l,ls->s", w, table.spd)          # (471,)
-    L = spec.sample_dense(jnp.broadcast_to(spd, lam.shape[:-1] + (471,)), lam)
+    if spd_vals is not None:
+        L = jnp.einsum("...sl,l->...s", spd_vals, w)
+    else:
+        spd = jnp.einsum("l,ls->s", w, table.spd)      # (471,)
+        L = spec.sample_dense(
+            jnp.broadcast_to(spd, lam.shape[:-1] + (471,)), lam)
     return L, jnp.sum(is_amb)
 
 
