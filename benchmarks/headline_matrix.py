@@ -54,13 +54,13 @@ def main():
 
         t0 = time.perf_counter()
         rgb, wt = chunk_pass(scene, jnp.uint32(0))
-        jax.block_until_ready(rgb)
+        jax.block_until_ready((rgb, wt))
         compile_s = time.perf_counter() - t0
         n_chunks = max(1, args.passes // 8)
         t0 = time.perf_counter()
         for i in range(n_chunks):
             rgb, wt = chunk_pass(scene, jnp.uint32((i + 1) * 8))
-        jax.block_until_ready(rgb)
+        jax.block_until_ready((rgb, wt))
         dt = (time.perf_counter() - t0) / (n_chunks * 8)
         row = {"integrator": mode, "sampler": kind,
                "sec_per_spp_pass": round(dt, 5),
