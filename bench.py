@@ -200,7 +200,10 @@ def bench_dragon870():
 
     res = _env("BENCH_MESH_RES", 512)
     spp = _env("BENCH_MESH_SPP", 4)
-    cap = _env("BENCH_MESH_CAP", 40)
+    # cap 96 measured best on this mesh (r4 sweep: 497k rays/s / 831 MB
+    # table vs 390k / 1195 MB at the reference's cap 40 — bigger leaves
+    # suit the irregular density)
+    cap = _env("BENCH_MESH870_CAP", 96)
 
     t0 = time.perf_counter()
     v, f, uv = mesh_gen.dragon_stand_in()

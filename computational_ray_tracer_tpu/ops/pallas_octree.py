@@ -680,9 +680,10 @@ def octree_intersect_pallas(o, d, t_max, packed: PackedOctree,
         f"process runs CHUNK={CHUNK} — the kernel would mis-traverse")
     assert RAY_SUB % ray_sub == 0
     cpl = (packed.cap + CHUNK - 1) // CHUNK
-    assert pend_size > 8 * cpl, (
-        f"pend_size={pend_size} cannot hold one walk step's worst-case "
-        f"8 leaves x {cpl} chunks — the walk loop would never admit a pop")
+    # The queue must hold one walk step's worst case (8 leaves x cpl
+    # chunks) with room for at least one pop — auto-grow for big leaf
+    # capacities (cap 64 at CHUNK 8 already exceeds the default 64).
+    pend_size = max(pend_size, 8 * cpl + 8)
     batch_shape = o.shape[:-1]
     n = int(np.prod(batch_shape)) if batch_shape else 1
     n_pad = -(-n // TILE_R) * TILE_R    # blocks are always 8x128 rays
