@@ -121,8 +121,9 @@ class RenderConfig:
     # rays into a dense direction-sorted bucket between bounces so deep
     # bounces pay for surviving rays only (the reference's dead pixels cost
     # nothing, RayTracerTestApp.h:361-366). Changes NO sample value — every
-    # sample is keyed by (pixel, sample, dim). Served by
-    # render_pass_compact; render_pass/render_passes ignore it.
+    # sample is keyed by (pixel, sample, dim). Honored by render() (each
+    # pass goes through render_pass_compact); render_pass/render_passes are
+    # the raw full-wavefront pieces and ignore it.
     compact: bool = False
     compact_quantum: int = 1024             # bucket rounding (packet tile)
 
@@ -172,13 +173,21 @@ def li_direct(scene, o, d, wl, pixel, sample_idx, cfg):
     mrow = mat.MaterialView.create(scene.materials, mid)
     # Per-pass spectral cache (one interp of all dense tables; see
     # _spectral_cache) — the per-site interps were fusion barriers.
-    svals = _spectral_cache(scene, wl.lam)
+    # Size-guarded like the path loop: many-material scenes fall back to
+    # per-site interpolation instead of the unrolled where-chain.
+    use_cache = _use_spectral_cache(scene)
     n_l = scene.lights.n_lights
     n_m = scene.materials.kind.shape[0]
+    if use_cache:
+        svals = _spectral_cache(scene, wl.lam)
+        light_vals = svals[..., :n_l]
+        emit = _cache_select(svals[..., n_l:n_l + n_m], mid)
+    else:
+        light_vals = None
+        emit, _, _ = mat.material_spectra(mrow, wl.lam)
     # Emission is one-sided (front face only), matching the quad-light
     # convention in models/lights.py — see the note in _bounce_step.
-    L = jnp.where((si.valid & ~si.backface)[..., None],
-                  _cache_select(svals[..., n_l:n_l + n_m], mid), 0.0)
+    L = jnp.where((si.valid & ~si.backface)[..., None], emit, 0.0)
 
     s = cfg.sampler
     u_sel = s.get_1d(pixel, sample_idx, DIM_BOUNCE0)
@@ -186,7 +195,7 @@ def li_direct(scene, o, d, wl, pixel, sample_idx, cfg):
     wr = scene.world_radius()
     wi, dist, li_val, pdf, _ = lgt.sample_light(scene.lights, si.p, si.n,
                                                 wl.lam, u_sel, u_pos, wr,
-                                                spd_vals=svals[..., :n_l])
+                                                spd_vals=light_vals)
     f, _ = mat.bsdf_eval(mrow, si.n, si.wo, wi, wl.lam, _tex_coeffs(scene, si),
                          enable_rough=scene.has_rough)
     cos_i = jnp.maximum(jnp.sum(wi * si.n, axis=-1), 0.0)
@@ -386,6 +395,20 @@ def _bounce_step(scene, cfg, mode, state, depth, pixel, sample_idx,
         return new_state, jnp.sum(alive.astype(jnp.float32))
 
 
+# Spectral-cache column budget. Beyond this, _cache_select's unrolled
+# where-chain per material/light per bounce inflates the traced graph (the
+# TPU compiler SIGILLs on large unrolled render graphs — CLAUDE.md) and the
+# (N, S, C) carry inflates HBM; fall back to per-site interpolation, which
+# itself gathers above spectrum._MXU_ROWS_MAX rows. Same 32-row rationale.
+SPECTRAL_CACHE_MAX_COLS = 32
+
+
+def _use_spectral_cache(scene):
+    n_l = scene.lights.n_lights
+    n_m = scene.materials.kind.shape[0]
+    return (n_l + 3 * n_m) <= SPECTRAL_CACHE_MAX_COLS
+
+
 def _spectral_cache(scene, lam):
     """Per-ray evaluation of EVERY dense spectral table at the hero
     wavelengths, in ONE one-hot MXU dot: (..., S, L + 3M) ordered
@@ -429,7 +452,7 @@ def _init_path_state(o, d, wl, scene=None):
         lam=wl.lam,
         lam_pdf=wl.pdf,
     )
-    if scene is not None:
+    if scene is not None and _use_spectral_cache(scene):
         state["svals"] = _spectral_cache(scene, wl.lam)
     return state
 
@@ -771,11 +794,18 @@ def render(scene, camera, cfg: RenderConfig, film=None, progress=None,
     early via ``passes``.
 
     chunk: samples per device launch (lax.scan inside jit). chunk=1 keeps
-    per-spp progress callbacks; larger chunks amortize dispatch overhead."""
+    per-spp progress callbacks; larger chunks amortize dispatch overhead.
+
+    cfg.compact routes each pass through the host-driven compacted bounce
+    loop (render_pass_compact) — the only code path that survives deep
+    renders at large resolutions (a 512² depth-8 full-wavefront program
+    trips the TPU watchdog, benchmarks/compaction.json) — with identical
+    sample values (tests assert compact == non-compact)."""
     filter_obj = make_filter(cfg)
     sensor = make_sensor(cfg)
     if film is None:
         film = filmmod.Film.create(cfg.resolution)
+    use_compact = cfg.compact and cfg.integrator != "direct"
 
     @partial(jax.jit, static_argnames=("n",))
     def chunk_pass(scene_, film_, sample_idx, n):
@@ -785,14 +815,25 @@ def render(scene, camera, cfg: RenderConfig, film=None, progress=None,
                             film_.weight_sum + wt_sum,
                             film_.spp_done + n)
 
+    @jax.jit
+    def accum(film_, rgb, wt):
+        return filmmod.Film(film_.rgb_sum + rgb * wt[..., None],
+                            film_.weight_sum + wt, film_.spp_done + 1)
+
     start = int(film.spp_done)
     stop = cfg.sampler.spp if passes is None else min(cfg.sampler.spp,
                                                       start + passes)
     i = start
     while i < stop:
-        n = min(chunk, stop - i)
-        film = chunk_pass(scene, film, jnp.uint32(i), n)
-        i += n
+        if use_compact:
+            rgb, wt = render_pass_compact(scene, camera, cfg, filter_obj,
+                                          sensor, jnp.uint32(i))
+            film = accum(film, rgb, wt)
+            i += 1
+        else:
+            n = min(chunk, stop - i)
+            film = chunk_pass(scene, film, jnp.uint32(i), n)
+            i += n
         if progress is not None:
             progress(i - 1, film)
     return film, sensor

@@ -221,7 +221,16 @@ def _packet_order(o, d, alive):
 
     morton = spread3(q[..., 0]) | (spread3(q[..., 1]) << 1) \
         | (spread3(q[..., 2]) << 2)
-    key = jnp.where(alive, octant * 512 + morton, jnp.int32(1 << 14))
+    # Compaction correctness depends on dead rays sorting strictly LAST:
+    # select() slices the first `bucket` rows, so every key (alive max
+    # 7*512+511 = 4095, dead sentinel 1<<14) must fit radix_order's
+    # default n_bits — widening octant/Morton bits without widening the
+    # radix would silently drop alive rays from buckets.
+    _DEAD_KEY = 1 << 14
+    _MAX_ALIVE_KEY = 7 * 512 + 511
+    assert _MAX_ALIVE_KEY < _DEAD_KEY < (1 << 15), \
+        "packet-order keys overflow radix_order(n_bits=15)"
+    key = jnp.where(alive, octant * 512 + morton, jnp.int32(_DEAD_KEY))
     return radix_order(key)
 
 

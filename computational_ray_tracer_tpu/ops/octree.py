@@ -38,6 +38,13 @@ CHILD_PADDING_FRAC = 5e-4
 MAX_DEPTH = 12
 # Worst-case stack growth is +7 per level (push 8, pop 1): 8*MAX_DEPTH + 8.
 STACK_SIZE = 128
+# Disk-cache invalidation token for the BUILT TREE (co-located with the
+# builders so a semantic change can't forget it): bump whenever
+# _build_octree_native / _build_octree_numpy / _split_oversized_leaves (or
+# native/octree_builder.cpp, whose compile key also folds this in) change
+# the tree they produce for identical inputs. Stale .cache entries would
+# otherwise silently serve old trees across branches sharing the worktree.
+BUILDER_VERSION = "v1"
 
 
 # ---------------------------------------------------------------------------
@@ -256,7 +263,19 @@ def build_octree(mesh: trimod.MeshData, capacity=TRIANGLE_CAPACITY,
         h = hashlib.blake2b(digest_size=16)
         h.update(pos_np.tobytes())
         h.update(idx_np.tobytes())
-        h.update(f"v1_c{capacity}_d{max_depth}_p{padding!r}".encode())
+        h.update(f"{BUILDER_VERSION}_c{capacity}_d{max_depth}"
+                 f"_p{padding!r}".encode())
+        # The native builder's exact output is part of the cached value:
+        # fold its source bytes in so editing octree_builder.cpp can never
+        # serve a stale tree (NumPy-builder changes bump BUILDER_VERSION).
+        try:
+            from computational_ray_tracer_tpu import native as _native_pkg
+            cpp = _os.path.join(_os.path.dirname(_native_pkg.__file__),
+                                "octree_builder.cpp")
+            with open(cpp, "rb") as f:
+                h.update(f.read())
+        except OSError:
+            pass
         key = f"octree_{h.hexdigest()}"
         hit = asset_cache.load(key)
         if hit is not None and all(f in hit for f in _FIELDS):
