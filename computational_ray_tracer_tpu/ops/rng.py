@@ -227,39 +227,95 @@ def _primitive_polys_gf2(count):
     return out
 
 
-def _sobol_matrices(n_dims=48, n_bits=32):
-    """Generate Sobol' direction-number matrices from primitive polynomials.
-    Dims 2-12 use the published Joe-Kuo initial direction numbers; higher
-    dims use enumerated primitive polynomials with deterministic hashed odd
-    initial values (valid digital nets; quality matters little at depth).
-    Host-side, once."""
-    # (degree s, polynomial a, initial m values) for dims 2..12; dim 1 is
-    # the van der Corput sequence.
-    jk = [
-        (1, 0, [1]),
-        (2, 1, [1, 3]),
-        (3, 1, [1, 3, 1]),
-        (3, 2, [1, 1, 1]),
-        (4, 1, [1, 1, 3, 3]),
-        (4, 4, [1, 3, 5, 13]),
-        (5, 2, [1, 1, 5, 5, 17]),
-        (5, 4, [1, 1, 5, 5, 5]),
-        (5, 7, [1, 1, 7, 11, 19]),
-        (5, 11, [1, 1, 5, 1, 1]),
-        (5, 13, [1, 1, 1, 3, 11]),
-    ]
+# Published Joe-Kuo initial direction numbers (new-joe-kuo-6 tier), dims
+# 2..37: (degree s, polynomial a, initial m values). This spans EVERY
+# primitive polynomial through degree 7 (1+1+2+2+6+6+18 = 36 dims + van
+# der Corput), which covers the headline renderer's consumption (depth-4
+# paths use dims up to 37, DIMS_PER_BOUNCE). Dims beyond 37 come from
+# ops/data/sobol_tail.npz: a committed, deterministic CBC search that
+# minimizes 2D-projection t-values against all earlier dims — the Joe-Kuo
+# criterion itself, run here because the reference only *declares* pbrt's
+# SobolMatrices32 without shipping the data (Util/HelperFunctions.h:210).
+_JOE_KUO = [
+    (1, 0, [1]),
+    (2, 1, [1, 3]),
+    (3, 1, [1, 3, 1]),
+    (3, 2, [1, 1, 1]),
+    (4, 1, [1, 1, 3, 3]),
+    (4, 4, [1, 3, 5, 13]),
+    (5, 2, [1, 1, 5, 5, 17]),
+    (5, 4, [1, 1, 5, 5, 5]),
+    (5, 7, [1, 1, 7, 11, 19]),
+    (5, 11, [1, 1, 5, 1, 1]),
+    (5, 13, [1, 1, 1, 3, 11]),
+    (5, 14, [1, 3, 5, 5, 31]),
+    (6, 1, [1, 3, 3, 9, 7, 49]),
+    (6, 13, [1, 1, 1, 15, 21, 21]),
+    (6, 16, [1, 3, 1, 13, 27, 49]),
+    (6, 19, [1, 1, 1, 15, 7, 5]),
+    (6, 22, [1, 3, 1, 15, 13, 25]),
+    (6, 25, [1, 1, 5, 5, 19, 61]),
+    (7, 1, [1, 3, 7, 11, 23, 15, 103]),
+    (7, 4, [1, 3, 7, 13, 13, 15, 69]),
+    (7, 7, [1, 1, 3, 13, 7, 35, 63]),
+    (7, 8, [1, 3, 5, 9, 1, 25, 53]),
+    (7, 14, [1, 3, 1, 13, 9, 35, 107]),
+    (7, 19, [1, 3, 1, 5, 27, 61, 31]),
+    (7, 21, [1, 1, 5, 11, 19, 41, 61]),
+    (7, 28, [1, 3, 5, 3, 3, 13, 69]),
+    (7, 31, [1, 1, 7, 13, 1, 19, 1]),
+    (7, 32, [1, 3, 7, 5, 13, 19, 59]),
+    (7, 37, [1, 1, 3, 9, 25, 29, 41]),
+    (7, 41, [1, 3, 5, 13, 23, 1, 55]),
+    (7, 42, [1, 3, 7, 3, 13, 59, 17]),
+    (7, 50, [1, 3, 1, 3, 5, 53, 69]),
+    (7, 55, [1, 1, 5, 5, 23, 33, 13]),
+    (7, 56, [1, 1, 7, 7, 1, 61, 123]),
+    (7, 59, [1, 1, 7, 9, 13, 61, 49]),
+    (7, 62, [1, 3, 3, 5, 3, 55, 33]),
+]
+
+
+def _load_tail_initials(first_dim, n_needed):
+    """Committed CBC-searched initials for dims >= first_dim (see
+    tools/gen_sobol_tail.py). Returns a list of (s, a, m_init) or None."""
+    import os as _os
+    path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                         "data", "sobol_tail.npz")
+    if not _os.path.exists(path):
+        return None
+    z = np.load(path)
+    if int(z["first_dim"]) != first_dim or z["s"].shape[0] < n_needed:
+        return None
+    out = []
+    for i in range(n_needed):
+        s = int(z["s"][i])
+        out.append((s, int(z["a"][i]), [int(v) for v in z["m"][i, :s]]))
+    return out
+
+
+def _sobol_matrices(n_dims=72, n_bits=32):
+    """Generate Sobol' direction-number matrices: van der Corput + the
+    published Joe-Kuo initials (dims 2..37) + the committed CBC-validated
+    tail (dims 38+; fallback to hashed odd initials only if the committed
+    table is absent). Host-side, once."""
+    jk = list(_JOE_KUO)
     if n_dims - 1 > len(jk):
-        extra = _primitive_polys_gf2(len(jk) + (n_dims - 1))[len(jk):]
-        rng_h = np.uint64(0x9E3779B97F4A7C15)
-        state = np.uint64(12345)
-        for (s, a) in extra:
-            m_init = []
-            for i in range(1, s + 1):
-                with np.errstate(over="ignore"):
-                    state = state * rng_h + np.uint64(1)
-                # odd value < 2^i
-                m_init.append(int(state >> np.uint64(40)) % (1 << i) | 1)
-            jk.append((s, a, m_init))
+        n_extra = (n_dims - 1) - len(jk)
+        tail = _load_tail_initials(len(jk) + 2, n_extra)
+        if tail is not None:
+            jk.extend(tail)
+        else:   # emergency fallback: valid (odd, in-range) but unscored
+            extra = _primitive_polys_gf2(len(jk) + n_extra)[len(jk):]
+            rng_h = np.uint64(0x9E3779B97F4A7C15)
+            state = np.uint64(12345)
+            for (s, a) in extra:
+                m_init = []
+                for i in range(1, s + 1):
+                    with np.errstate(over="ignore"):
+                        state = state * rng_h + np.uint64(1)
+                    m_init.append(int(state >> np.uint64(40)) % (1 << i) | 1)
+                jk.append((s, a, m_init))
     V = np.zeros((n_dims, n_bits), dtype=np.uint32)
     # dim 0: identity (van der Corput)
     for k in range(n_bits):
