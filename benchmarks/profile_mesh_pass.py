@@ -43,10 +43,30 @@ def timeit(name, fn, *args):
 
 
 def main():
-    scene = bench._dragon_scene(int(os.environ.get("BENCH_MESH_SUBDIV", "7")),
-                                int(os.environ.get("BENCH_MESH_CAP", "40")))
-    camera = cam.PerspectiveCamera.create((0, 0.5, -3.4), (RES, RES),
-                                          fov_y=40.0, look_at=(0, 0, 0))
+    if os.environ.get("PROFILE_MESH870", "0") == "1":
+        # the 872k-tri irregular mesh + its bench camera (bench_dragon870)
+        from computational_ray_tracer_tpu.models.scene import Scene
+        from computational_ray_tracer_tpu.ops import triangle as trimod
+        from computational_ray_tracer_tpu.utils import mesh_gen
+        v, f, uv = mesh_gen.dragon_stand_in()
+        mesh = trimod.MeshData.build(v, f, uvs=uv)
+        scene = Scene.build(
+            materials=[{"kind": "diffuse", "albedo_rgb": (0.7, 0.64, 0.52)}],
+            lights=[{"kind": "distant", "direction": (-0.4, -1.0, 0.5),
+                     "rgb": (1.0, 1.0, 1.0), "scale": 4.0},
+                    {"kind": "ambient", "spd_named": "stdillum-D65",
+                     "scale": 0.15}],
+            mesh=(mesh, jnp.zeros((mesh.n_triangles,), jnp.int32)),
+            use_octree=True,
+            octree_capacity=int(os.environ.get("BENCH_MESH870_CAP", "96")))
+        camera = cam.PerspectiveCamera.create((0, 12, -52), (RES, RES),
+                                              fov_y=45.0, look_at=(0, -1, 0))
+    else:
+        scene = bench._dragon_scene(
+            int(os.environ.get("BENCH_MESH_SUBDIV", "7")),
+            int(os.environ.get("BENCH_MESH_CAP", "40")))
+        camera = cam.PerspectiveCamera.create((0, 0.5, -3.4), (RES, RES),
+                                              fov_y=40.0, look_at=(0, 0, 0))
     cfg = integ.RenderConfig(
         resolution=(RES, RES),
         sampler=integ.SamplerConfig(kind="sobol", spp=4),

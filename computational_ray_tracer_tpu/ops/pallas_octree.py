@@ -19,21 +19,28 @@ Kernel structure, per grid step (one packet of 8x128 rays in VMEM):
    (near-to-far for the packet's majority direction sign — the
    front-to-back ordering SURVEY's hard-part #2 calls for), hit leaves
    append to a pending queue.
-2. **Leaf phase** (vector): stream the pending leaves' pre-gathered vertex
-   rows from HBM with double-buffered async DMA in CHUNK-row (8-triangle)
-   entries — only ceil(count/8) chunks per leaf, so sparse leaves never pay
-   for their padding rows; each chunk is one (8, 8, 128) watertight test
-   (triangles on the leading axis, the ray tile on the trailing two) folded
-   into the running closest hit.
+2. **Leaf phase**: stream the pending leaves' pre-gathered vertex rows
+   from HBM with double-buffered async DMA into SMEM, 8 triangles PACKED
+   per 128-lane row (16-lane stride: 9 vertex floats + pad each) — only
+   ceil(count/8) rows per leaf, so sparse leaves never pay for padding;
+   each triangle's coordinates are read as SMEM scalars and tested against
+   the full (8, 128) ray tile (scalar operands splat into the vector ops
+   for free), folding into the running closest hit.
 
 Phases alternate so t_best tightens between flushes and prunes later nodes.
 
 The leaf vertex table is *pre-gathered* at pack time (every leaf owns
-ceil(count/8)*8 contiguous compact rows of [p0 p1 p2] + padding): leaf
-fetches become contiguous DMA, never gathers. Hit outputs are (t, leaf-row, b1, b2); the row -> tri-id
-mapping is one XLA gather outside the kernel. Like the brute kernel,
-intersection ids are sampling decisions: wrapped in custom_jvp with zero
-tangents (the jnp traversal stays the differentiable/CPU oracle).
+ceil(count/8) contiguous compact packed rows): leaf fetches become
+contiguous 512 B DMA, never gathers. The r4 layout spent one full
+128-lane row per TRIANGLE (9 floats used of 128 — a 14x padding tax that
+forced an 831 MB leaf table and leaf cap 96 on the 872k-tri mesh); the
+packed layout is 8x smaller at identical DMA count, and scalar SMEM
+unpack measured FASTER than the old (CHUNK, 8, 128) column-slice test
+(sync-DMA microbench: 0.17 us vs 1.4+ us per 8-triangle chunk). Hit
+outputs are (t, tri-slot, b1, b2); slot -> tri-id is one XLA gather
+outside the kernel. Like the brute kernel, intersection ids are sampling
+decisions: wrapped in custom_jvp with zero tangents (the jnp traversal
+stays the differentiable/CPU oracle).
 """
 
 from __future__ import annotations
@@ -57,24 +64,26 @@ RAY_SUB = 8            # sublanes of the ray tile
 RAY_LANES = 128        # lanes of the ray tile
 TILE_R = RAY_SUB * RAY_LANES
 STACK_SIZE = 256       # 8 * depth + slack (depth <= ~24 incl. chain splits)
-# Leaf rows per pending entry. 8 = one sublane tile; 16 halves the DMA
-# count per leaf at identical padding for caps >= 16 whose leaves already
-# round to 16 rows (each DMA is tiny — CHUNK*512B — so per-transfer
-# overhead, not bandwidth, is what the leaf phase pays). Env override so
-# sweeps can compare; pack layout and kernel must agree (module-level).
-CHUNK = int(os.environ.get("CRT_CHUNK", "8"))
-# Pending-CHUNK queue length between walk phases. Small: t_best tightens
+# Packed-row geometry: 8 triangles per 128-lane row, 16-lane stride each
+# (lanes [16s, 16s+8] hold triangle s's [p0 p1 p2]; 7 pad lanes). Mosaic
+# tiles HBM arrays to 128 lanes and DMA slices must be lane-aligned to
+# 128, so the row width is one full lane tile — but unlike the r4 layout
+# (one triangle per row) the tile is now ~56% payload, not 7%.
+TRI_PER_ROW = 8
+TRI_LANES = 16
+VERT_COLS = 128
+# Packed rows per pending entry (one DMA; CHUNK = triangles per entry).
+# 1 row = 8 triangles = 512 B per transfer. Env override for sweeps; pack
+# layout and kernel must agree (module-level).
+CHUNK_ROWS = int(os.environ.get("CRT_CHUNK_ROWS", "1"))
+CHUNK = TRI_PER_ROW * CHUNK_ROWS
+# Pending-chunk queue length between walk phases. Small: t_best tightens
 # after only a few (front-to-back ordered) chunks, pruning far subtrees the
 # walk would otherwise visit. Env override for sweeps.
 PEND_SIZE = int(os.environ.get("CRT_PEND_SIZE", "64"))
 # Leaf-DMA pipeline depth (scratch slots). 2 = classic double buffer; more
 # slots keep several small in-flight copies hiding per-DMA issue latency.
 DMA_SLOTS = int(os.environ.get("CRT_DMA_SLOTS", "2"))
-# Leaf row width. Mosaic tiles HBM arrays to 128 lanes and requires DMA
-# slices lane-aligned to 128, so rows are padded to one full lane tile
-# (9 vertex floats + pad). Capacity cost only — DMA bandwidth per leaf is
-# ~20KB, far below what the leaf's (cap, 8, 128) test amortizes.
-VERT_COLS = 128
 
 
 def _gamma(n):
@@ -95,12 +104,15 @@ class PackedOctree:
     group row is one full lane tile, so the whole tree costs 64 B/node total
     and a ~300k-node dragon-class tree fits VMEM (~18 MB)."""
     nodes: jnp.ndarray          # (G, 128) f32 sibling-group rows
-    leaf_verts: jnp.ndarray     # (rows, VERT_COLS) f32, chunk-aligned compact
-    row_tri: jnp.ndarray        # (rows,) i32 tri id per row (-1 pad)
+    leaf_verts: jnp.ndarray     # (rows, VERT_COLS) f32, TRI_PER_ROW packed
+                                # triangles per row at TRI_LANES stride
+    row_tri: jnp.ndarray        # (rows*TRI_PER_ROW,) i32 tri id per slot
+                                # (-1 pad)
     cap: int                    # max triangles per leaf (static)
-    chunk: int = CHUNK          # leaf-row chunking the pack was built with;
-                                # asserted == module CHUNK at kernel entry
-                                # (a CRT_CHUNK mismatch would mis-traverse)
+    chunk: int = CHUNK          # triangles per pend entry the pack was
+                                # built with; asserted == module CHUNK at
+                                # kernel entry (a CRT_CHUNK_ROWS mismatch
+                                # would mis-traverse)
 
     def tree_flatten(self):
         return (self.nodes, self.leaf_verts, self.row_tri), (self.cap,
@@ -133,13 +145,14 @@ def pack_from_numpy(tree_np, mesh: trimod.MeshData, tri_mask=None):
     L, cap0 = leaf_tris.shape
     cap = max(int(np.ceil(cap0 / CHUNK)) * CHUNK, CHUNK)
 
-    # Compact chunk-aligned leaf rows: leaf i owns ceil(count_i/CHUNK)*CHUNK
-    # rows starting at row_off[i] (a chunk-aligned cumsum) — NOT cap rows.
-    # The walk queues only those chunks, so sparse leaves cost neither
-    # HBM capacity nor DMA for their padding (a cap-aligned table at
-    # dragon scale is gigabytes; this is ~occupancy-proportional).
+    # Compact chunk-aligned PACKED leaf rows: leaf i owns
+    # ceil(count_i/CHUNK)*CHUNK_ROWS rows (TRI_PER_ROW triangles each)
+    # starting at row_off[i] — NOT cap rows. The walk queues only those
+    # chunks, so sparse leaves cost neither HBM capacity nor DMA for their
+    # padding (a cap-aligned table at dragon scale is gigabytes; this is
+    # ~occupancy-proportional at ~64 B/triangle).
     leaf_rows = np.maximum(
-        ((counts.astype(np.int64) + CHUNK - 1) // CHUNK) * CHUNK, 0)
+        ((counts.astype(np.int64) + CHUNK - 1) // CHUNK) * CHUNK_ROWS, 0)
     row_off = np.zeros(L + 1, np.int64)
     np.cumsum(leaf_rows, out=row_off[1:])
     total_rows = int(row_off[-1])
@@ -176,27 +189,30 @@ def pack_from_numpy(tree_np, mesh: trimod.MeshData, tri_mask=None):
     nodes[7:7 + M] = vals
     nodes = nodes.reshape(G, 8 * NODE_LANES)
 
-    # Scatter each leaf's triangle ids into its compact row range.
-    row_tri_np = np.full((total_rows,), -1, np.int32)
+    # Scatter each leaf's triangle ids into its compact SLOT range (slot =
+    # packed row * TRI_PER_ROW + position-in-row).
+    row_tri_np = np.full((total_rows * TRI_PER_ROW,), -1, np.int32)
     valid = leaf_tris >= 0
     if tri_mask is not None:
         valid &= np.asarray(tri_mask, bool)[np.maximum(leaf_tris, 0)]
     li, ci = np.nonzero(valid)
-    row_tri_np[row_off[li] + ci] = leaf_tris[li, ci]
+    row_tri_np[row_off[li] * TRI_PER_ROW + ci] = leaf_tris[li, ci]
 
     # device-side vertex gather (one upload of ids, no giant host array).
     # ONE jitted call: eager op dispatches cost seconds each on
     # remote-attached TPUs, so the ~6-op gather must be a single launch.
+    # Slot s of row r lands at lanes [16s, 16s+9) — the packed layout.
     @jax.jit
     def _gather_rows(row_tri, positions, indices):
         tri = jnp.maximum(row_tri, 0)
-        i = indices[tri]                                # (rows, 3)
+        i = indices[tri]                                # (slots, 3)
         p = jnp.concatenate([positions[i[:, 0]],
                              positions[i[:, 1]],
-                             positions[i[:, 2]]], axis=1)    # (rows, 9)
+                             positions[i[:, 2]]], axis=1)    # (slots, 9)
         p = jnp.where((row_tri >= 0)[:, None], p, 0.0)
-        rows = jnp.zeros((row_tri.shape[0], VERT_COLS), jnp.float32)
-        return rows.at[:, :9].set(p)
+        slots = jnp.zeros((row_tri.shape[0], TRI_LANES), jnp.float32)
+        slots = slots.at[:, :9].set(p)
+        return slots.reshape(-1, VERT_COLS)             # (rows, 128)
 
     row_tri = jnp.asarray(row_tri_np)
     rows = _gather_rows(row_tri, mesh.positions, mesh.indices)
@@ -248,13 +264,12 @@ def _traverse_kernel(cap, anyhit, pend_size, skip_leaf, frustum, ray_sub,
 
     # --- ray-only watertight-test precomputation (hoisted out of the leaf
     # loop AND the subgroup loop): permutation masks, permuted direction,
-    # shear coefficients. Chunks test as (CHUNK, 8, 128): triangles on the
-    # sequential leading axis, the full ray tile on the trailing two.
-    rexp = lambda v: v[None]                     # (1, 8, 128)
-    col_shape = (CHUNK, 1, 1)
+    # shear coefficients — all (8, 128) ray-tile values. Triangle
+    # coordinates arrive as SMEM scalars (packed-row layout) and splat
+    # into these vector ops as scalar operands.
     adx, ady, adz = (jnp.abs(d[0]), jnp.abs(d[1]), jnp.abs(d[2]))
-    kz_x = rexp((adx >= ady) & (adx >= adz))
-    kz_y = rexp((~((adx >= ady) & (adx >= adz))) & (ady >= adz))
+    kz_x = (adx >= ady) & (adx >= adz)
+    kz_y = (~kz_x) & (ady >= adz)
 
     def perm(vx, vy, vz):
         pz = jnp.where(kz_x, vx, jnp.where(kz_y, vy, vz))
@@ -262,89 +277,90 @@ def _traverse_kernel(cap, anyhit, pend_size, skip_leaf, frustum, ray_sub,
         py = jnp.where(kz_x, vz, jnp.where(kz_y, vx, vy))
         return px, py, pz
 
-    dxp, dyp, dzp = perm(rexp(d[0]), rexp(d[1]), rexp(d[2]))
+    dxp, dyp, dzp = perm(d[0], d[1], d[2])
     inv_dz = 1.0 / dzp
     sx = -dxp * inv_dz
     sy = -dyp * inv_dz
-    oxe = rexp(o[0])
-    oye = rexp(o[1])
-    oze = rexp(o[2])
 
     def leaf_dma(i, slot):
         off = pend[i]
         return pltpu.make_async_copy(
-            verts.at[pl.ds(off, CHUNK), :], vbuf.at[slot], sem.at[slot])
+            verts.at[pl.ds(off, CHUNK_ROWS), :], vbuf.at[slot],
+            sem.at[slot])
 
     def leaf_test(slot, off, carry):
+        # off: packed-row offset of this pend entry. One sequential
+        # triangle at a time: 9 scalar SMEM reads splat against the full
+        # (8, 128) ray tile — the same total vector work as the old
+        # (CHUNK, 8, 128) column layout (each elementary op touches
+        # CHUNK x 8 vregs either way), without the 14x row-padding tax.
+        # Sequential folding tightens t_best WITHIN the chunk (strict <
+        # keeps the first-slot winner on exact ties, matching the old
+        # argmin-first semantics).
         t_best, row_b, b1_b, b2_b = carry
-        buf = vbuf[slot]                       # (CHUNK, VERT_COLS)
-        col = lambda j: buf[:, j].reshape(col_shape)
-        # translate to ray origin; tris (CHUNK,1,1) x rays (1,8,128)
-        v0 = (col(0) - oxe, col(1) - oye, col(2) - oze)
-        v1 = (col(3) - oxe, col(4) - oye, col(5) - oze)
-        v2 = (col(6) - oxe, col(7) - oye, col(8) - oze)
+        for r in range(CHUNK_ROWS):
+            for s in range(TRI_PER_ROW):
+                base = TRI_LANES * s
+                c = [vbuf[slot, r, base + j] for j in range(9)]
+                v0 = (c[0] - o[0], c[1] - o[1], c[2] - o[2])
+                v1 = (c[3] - o[0], c[4] - o[1], c[5] - o[2])
+                v2 = (c[6] - o[0], c[7] - o[1], c[8] - o[2])
 
-        axp, ayp, azp = perm(*v0)
-        bxp, byp, bzp = perm(*v1)
-        cxp, cyp, czp = perm(*v2)
+                axp, ayp, azp = perm(*v0)
+                bxp, byp, bzp = perm(*v1)
+                cxp, cyp, czp = perm(*v2)
 
-        ax = axp + sx * azp
-        ay = ayp + sy * azp
-        bx = bxp + sx * bzp
-        by = byp + sy * bzp
-        cx = cxp + sx * czp
-        cy = cyp + sy * czp
+                ax = axp + sx * azp
+                ay = ayp + sy * azp
+                bx = bxp + sx * bzp
+                by = byp + sy * bzp
+                cx = cxp + sx * czp
+                cy = cyp + sy * czp
 
-        e0 = bx * cy - by * cx
-        e1 = cx * ay - cy * ax
-        e2 = ax * by - ay * bx
-        same_side = ((e0 >= 0) & (e1 >= 0) & (e2 >= 0)) | \
-                    ((e0 <= 0) & (e1 <= 0) & (e2 <= 0))
-        det = e0 + e1 + e2
-        nonzero = det != 0.0
+                e0 = bx * cy - by * cx
+                e1 = cx * ay - cy * ax
+                e2 = ax * by - ay * bx
+                same_side = ((e0 >= 0) & (e1 >= 0) & (e2 >= 0)) | \
+                            ((e0 <= 0) & (e1 <= 0) & (e2 <= 0))
+                det = e0 + e1 + e2
+                nonzero = det != 0.0
 
-        az_s = inv_dz * azp
-        bz_s = inv_dz * bzp
-        cz_s = inv_dz * czp
-        t_scaled = e0 * az_s + e1 * bz_s + e2 * cz_s
-        ts = jnp.where(det < 0, -t_scaled, t_scaled)
-        dd = jnp.abs(det)
-        in_range = (ts > 0.0) & (ts < t_best[None] * dd)
+                az_s = inv_dz * azp
+                bz_s = inv_dz * bzp
+                cz_s = inv_dz * czp
+                t_scaled = e0 * az_s + e1 * bz_s + e2 * cz_s
+                ts = jnp.where(det < 0, -t_scaled, t_scaled)
+                in_range = (ts > 0.0) & (ts < t_best * jnp.abs(det))
 
-        inv_det = 1.0 / jnp.where(nonzero, det, 1.0)
-        t = t_scaled * inv_det
+                inv_det = 1.0 / jnp.where(nonzero, det, 1.0)
+                t = t_scaled * inv_det
 
-        # conservative t bound (Shapes.h:1226-1256 capability)
-        max_z = jnp.maximum(jnp.maximum(jnp.abs(az_s), jnp.abs(bz_s)),
-                            jnp.abs(cz_s))
-        max_x = jnp.maximum(jnp.maximum(jnp.abs(ax), jnp.abs(bx)),
-                            jnp.abs(cx))
-        max_y = jnp.maximum(jnp.maximum(jnp.abs(ay), jnp.abs(by)),
-                            jnp.abs(cy))
-        delta_z = _gamma(3) * max_z
-        delta_x = _gamma(5) * (max_x + max_z)
-        delta_y = _gamma(5) * (max_y + max_z)
-        delta_e = 2.0 * (_gamma(2) * max_x * max_y
-                         + delta_y * max_x + delta_x * max_y)
-        max_e = jnp.maximum(jnp.maximum(jnp.abs(e0), jnp.abs(e1)),
-                            jnp.abs(e2))
-        delta_t = 3.0 * (_gamma(3) * max_e * max_z + delta_e * max_z
-                         + delta_z * max_e) * jnp.abs(inv_det)
+                # conservative t bound (Shapes.h:1226-1256 capability)
+                max_z = jnp.maximum(jnp.maximum(jnp.abs(az_s),
+                                                jnp.abs(bz_s)),
+                                    jnp.abs(cz_s))
+                max_x = jnp.maximum(jnp.maximum(jnp.abs(ax), jnp.abs(bx)),
+                                    jnp.abs(cx))
+                max_y = jnp.maximum(jnp.maximum(jnp.abs(ay), jnp.abs(by)),
+                                    jnp.abs(cy))
+                delta_z = _gamma(3) * max_z
+                delta_x = _gamma(5) * (max_x + max_z)
+                delta_y = _gamma(5) * (max_y + max_z)
+                delta_e = 2.0 * (_gamma(2) * max_x * max_y
+                                 + delta_y * max_x + delta_x * max_y)
+                max_e = jnp.maximum(jnp.maximum(jnp.abs(e0), jnp.abs(e1)),
+                                    jnp.abs(e2))
+                delta_t = 3.0 * (_gamma(3) * max_e * max_z + delta_e * max_z
+                                 + delta_z * max_e) * jnp.abs(inv_det)
 
-        hit = same_side & nonzero & in_range & (t > delta_t)
-        t = jnp.where(hit, t, jnp.inf)          # (CHUNK, 8, 128)
-
-        amin = jnp.argmin(t, axis=0)            # (8, 128)
-        t_min = jnp.min(t, axis=0)
-        sub = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
-        at_min = sub == amin[None]
-        b1_min = jnp.sum(jnp.where(at_min, e1 * inv_det, 0.0), axis=0)
-        b2_min = jnp.sum(jnp.where(at_min, e2 * inv_det, 0.0), axis=0)
-        better = t_min < t_best
-        return (jnp.where(better, t_min, t_best),
-                jnp.where(better, off + amin, row_b),
-                jnp.where(better, b1_min, b1_b),
-                jnp.where(better, b2_min, b2_b))
+                better = (same_side & nonzero & in_range & (t > delta_t)
+                          & (t < t_best))
+                slot_id = (off + r) * TRI_PER_ROW + s
+                t_best = jnp.where(better, t, t_best)
+                row_b = jnp.where(better, slot_id, row_b)
+                b1_b = jnp.where(better, e1 * inv_det, b1_b)
+                b2_b = jnp.where(better, e2 * inv_det, b2_b)
+        return t_best, row_b, b1_b, b2_b
 
     cpl = (cap + CHUNK - 1) // CHUNK    # max pending chunks per leaf (static)
 
@@ -496,7 +512,8 @@ def _traverse_kernel(cap, anyhit, pend_size, skip_leaf, frustum, ray_sub,
                     for k in range(cpl):
                         @pl.when(leaf_j & (k < n_chunks))
                         def _():
-                            pend[npend + k] = leaf_off + CHUNK * k
+                            # pend entries are PACKED-ROW offsets
+                            pend[npend + k] = leaf_off + CHUNK_ROWS * k
 
                     pushed = pushed | push_j
                     npend = npend + n_chunks
@@ -629,7 +646,9 @@ def _octree_pallas_impl(rays, nodes, verts, cap, interpret, anyhit,
         scratch_shapes=[
             pltpu.SMEM((STACK_SIZE,), jnp.int32),
             pltpu.SMEM((pend_size,), jnp.int32),
-            pltpu.VMEM((DMA_SLOTS, CHUNK, VERT_COLS), jnp.float32),
+            # leaf buffer lives in SMEM: the unpack is all scalar reads,
+            # and SMEM scalar loads measured 8x faster than VMEM ones
+            pltpu.SMEM((DMA_SLOTS, CHUNK_ROWS, VERT_COLS), jnp.float32),
             pltpu.SemaphoreType.DMA((DMA_SLOTS,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -676,8 +695,9 @@ def octree_intersect_pallas(o, d, t_max, packed: PackedOctree,
     if ray_sub is None:
         ray_sub = RAY_SUB
     assert packed.chunk == CHUNK, (
-        f"PackedOctree was packed with CRT_CHUNK={packed.chunk} but this "
-        f"process runs CHUNK={CHUNK} — the kernel would mis-traverse")
+        f"PackedOctree was packed with chunk={packed.chunk} triangles but "
+        f"this process runs CHUNK={CHUNK} (CRT_CHUNK_ROWS mismatch) — the "
+        f"kernel would mis-traverse")
     assert RAY_SUB % ray_sub == 0
     cpl = (packed.cap + CHUNK - 1) // CHUNK
     # The queue must hold one walk step's worst case (8 leaves x cpl
