@@ -234,10 +234,11 @@ def bench_dragon870():
 
     res = _env("BENCH_MESH_RES", 512)
     spp = _env("BENCH_MESH_SPP", 4)
-    # cap 96 measured best on this mesh (r4 sweep: 497k rays/s / 831 MB
-    # table vs 390k / 1195 MB at the reference's cap 40 — bigger leaves
-    # suit the irregular density)
-    cap = _env("BENCH_MESH870_CAP", 96)
+    # cap 160 measured best post leaf-packing (r5 sweep on the NEE shadow
+    # wavefront: 693 ms vs 756 at cap 96 vs 690 at cap 256, with the leaf
+    # table at 95 MB — bigger leaves suit the irregular density, and the
+    # packed rows made leaf streaming cheap enough to raise the cap)
+    cap = _env("BENCH_MESH870_CAP", 160)
 
     t0 = time.perf_counter()
     v, f, uv = mesh_gen.dragon_stand_in()

@@ -73,9 +73,12 @@ TRI_PER_ROW = 8
 TRI_LANES = 16
 VERT_COLS = 128
 # Packed rows per pending entry (one DMA; CHUNK = triangles per entry).
-# 1 row = 8 triangles = 512 B per transfer. Env override for sweeps; pack
-# layout and kernel must agree (module-level).
-CHUNK_ROWS = int(os.environ.get("CRT_CHUNK_ROWS", "1"))
+# Default 2 rows = 16 triangles = 1 KB per transfer: halves both the
+# walk's pend-store loop (cpl) and the leaf DMA count vs 1-row entries —
+# measured -13% anyhit on the 872k shadow wavefront, neutral on the 327k
+# mesh. Env override for sweeps; pack layout and kernel must agree
+# (module-level).
+CHUNK_ROWS = int(os.environ.get("CRT_CHUNK_ROWS", "2"))
 CHUNK = TRI_PER_ROW * CHUNK_ROWS
 # Pending-chunk queue length between walk phases. Small: t_best tightens
 # after only a few (front-to-back ordered) chunks, pruning far subtrees the
@@ -323,7 +326,6 @@ def _traverse_kernel(cap, anyhit, pend_size, skip_leaf, frustum, ray_sub,
                 same_side = ((e0 >= 0) & (e1 >= 0) & (e2 >= 0)) | \
                             ((e0 <= 0) & (e1 <= 0) & (e2 <= 0))
                 det = e0 + e1 + e2
-                nonzero = det != 0.0
 
                 az_s = inv_dz * azp
                 bz_s = inv_dz * bzp
@@ -331,9 +333,6 @@ def _traverse_kernel(cap, anyhit, pend_size, skip_leaf, frustum, ray_sub,
                 t_scaled = e0 * az_s + e1 * bz_s + e2 * cz_s
                 ts = jnp.where(det < 0, -t_scaled, t_scaled)
                 in_range = (ts > 0.0) & (ts < t_best * jnp.abs(det))
-
-                inv_det = 1.0 / jnp.where(nonzero, det, 1.0)
-                t = t_scaled * inv_det
 
                 # conservative t bound (Shapes.h:1226-1256 capability)
                 max_z = jnp.maximum(jnp.maximum(jnp.abs(az_s),
@@ -350,16 +349,34 @@ def _traverse_kernel(cap, anyhit, pend_size, skip_leaf, frustum, ray_sub,
                                  + delta_y * max_x + delta_x * max_y)
                 max_e = jnp.maximum(jnp.maximum(jnp.abs(e0), jnp.abs(e1)),
                                     jnp.abs(e2))
-                delta_t = 3.0 * (_gamma(3) * max_e * max_z + delta_e * max_z
-                                 + delta_z * max_e) * jnp.abs(inv_det)
-
-                better = (same_side & nonzero & in_range & (t > delta_t)
-                          & (t < t_best))
                 slot_id = (off + r) * TRI_PER_ROW + s
-                t_best = jnp.where(better, t, t_best)
-                row_b = jnp.where(better, slot_id, row_b)
-                b1_b = jnp.where(better, e1 * inv_det, b1_b)
-                b2_b = jnp.where(better, e2 * inv_det, b2_b)
+                if anyhit:
+                    # Occlusion-only test: no division, no barycentrics,
+                    # no closest-t fold. t > delta_t is rearranged to the
+                    # scaled domain: t = ts/|det| and delta_t carries a
+                    # 1/|det| factor, so compare ts > delta_scaled
+                    # directly (|det| > 0 whenever ts > 0). The found
+                    # flag poisons t_best to -inf exactly like the old
+                    # post-fold drain did — the (8,128)-wide t_best*|det|
+                    # range test then fails every later triangle.
+                    delta_s = 3.0 * (_gamma(3) * max_e * max_z
+                                     + delta_e * max_z + delta_z * max_e)
+                    found = same_side & in_range & (ts > delta_s)
+                    t_best = jnp.where(found, -jnp.inf, t_best)
+                    row_b = jnp.where(found, slot_id, row_b)
+                else:
+                    nonzero = det != 0.0
+                    inv_det = 1.0 / jnp.where(nonzero, det, 1.0)
+                    t = t_scaled * inv_det
+                    delta_t = 3.0 * (_gamma(3) * max_e * max_z
+                                     + delta_e * max_z
+                                     + delta_z * max_e) * jnp.abs(inv_det)
+                    better = (same_side & nonzero & in_range
+                              & (t > delta_t) & (t < t_best))
+                    t_best = jnp.where(better, t, t_best)
+                    row_b = jnp.where(better, slot_id, row_b)
+                    b1_b = jnp.where(better, e1 * inv_det, b1_b)
+                    b2_b = jnp.where(better, e2 * inv_det, b2_b)
         return t_best, row_b, b1_b, b2_b
 
     cpl = (cap + CHUNK - 1) // CHUNK    # max pending chunks per leaf (static)
@@ -509,6 +526,11 @@ def _traverse_kernel(cap, anyhit, pend_size, skip_leaf, frustum, ray_sub,
                     n_chunks = jnp.where(leaf_j,
                                          (cnt + (CHUNK - 1)) // CHUNK, 0)
                     leaf_off = row[0, base + 7].astype(jnp.int32)
+                    # Static PREDICATED store loop — measured faster than
+                    # a dynamic-bound fori_loop writing exactly n_chunks
+                    # entries (822 ms vs 684 ms on the 872k shadow
+                    # wavefront: 8 nested loop setups per pop cost more
+                    # than cpl x 8 predicated SMEM stores).
                     for k in range(cpl):
                         @pl.when(leaf_j & (k < n_chunks))
                         def _():
