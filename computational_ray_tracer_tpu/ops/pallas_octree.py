@@ -63,7 +63,8 @@ import os
 RAY_SUB = 8            # sublanes of the ray tile
 RAY_LANES = 128        # lanes of the ray tile
 TILE_R = RAY_SUB * RAY_LANES
-STACK_SIZE = 256       # 8 * depth + slack (depth <= ~24 incl. chain splits)
+STACK_SIZE = 288       # 8 * depth + slack (depth <= ~24 incl. chain
+                       # splits) + WALK_WIDTH * 8 transient push blocks
 # Packed-row geometry: 8 triangles per 128-lane row, 16-lane stride each
 # (lanes [16s, 16s+8] hold triangle s's [p0 p1 p2]; 7 pad lanes). Mosaic
 # tiles HBM arrays to 128 lanes and DMA slices must be lane-aligned to
@@ -87,6 +88,10 @@ PEND_SIZE = int(os.environ.get("CRT_PEND_SIZE", "64"))
 # Leaf-DMA pipeline depth (scratch slots). 2 = classic double buffer; more
 # slots keep several small in-flight copies hiding per-DMA issue latency.
 DMA_SLOTS = int(os.environ.get("CRT_DMA_SLOTS", "2"))
+# Stack pops processed per walk iteration. With compact (sentinel-free)
+# pushes, width 1 measured best (342 ms vs 349 at width 2 on the 872k
+# shadow wavefront); the widening machinery stays for sweeps.
+WALK_WIDTH = int(os.environ.get("CRT_WALK_WIDTH", "1"))
 
 
 def _gamma(n):
@@ -469,78 +474,125 @@ def _traverse_kernel(cap, anyhit, pend_size, skip_leaf, frustum, ray_sub,
             # a leaf's padding rows.
             def walk_cond(c):
                 sp, npend = c[0], c[1]
-                return (sp > 0) & (npend <= pend_size - 8 * cpl)
+                return (sp > 0) & (npend <= pend_size
+                                   - WALK_WIDTH * 8 * cpl)
 
             tb_max = jnp.max(t_best) if frustum else None
 
             def walk_body(c):
+                # WALK_WIDTH-wide pop: stack entries are pairwise
+                # non-ancestral (roots of disjoint unexplored subtrees),
+                # so up to WALK_WIDTH of them process independently in one
+                # iteration. The walk measured LATENCY-bound, not
+                # throughput-bound: doubling the per-child extract /
+                # slab-vop / reduce work changed nothing (<1%), while each
+                # serial dynamic row load alone costs ~1.1 us — so the fix
+                # is more independent work in flight per iteration, not
+                # less work per pop.
                 sp, npend, pops, t_best = c
-                sp = sp - 1
-                gid = stack[sp]
-                valid = gid >= 0
-                pops = pops + valid.astype(jnp.int32)
-                row = nodes[pl.ds(jnp.maximum(gid, 0), 1), :]  # (1, 8*NL)
+                entries = []
+                for _ in range(WALK_WIDTH):
+                    have = sp > 0
+                    spm = sp - 1
+                    gid = jnp.where(have, stack[jnp.maximum(spm, 0)],
+                                    jnp.int32(-1))
+                    sp = jnp.where(have, spm, sp)
+                    entries.append(gid)
 
-                @pl.when(valid)
-                def _():
-                    # clear the prospective push block (stale slots would
-                    # be re-visited as live group ids)
+                # --- compute phase: all pops' rows + per-child decisions
+                # issued together (independent latency chains overlap)
+                infos = []
+                for gid in entries:
+                    valid = gid >= 0
+                    pops = pops + valid.astype(jnp.int32)
+                    row = nodes[pl.ds(jnp.maximum(gid, 0), 1), :]
+                    children = []
                     for j in range(8):
-                        stack[sp + j] = jnp.int32(-1)
+                        base = j * NODE_LANES
+                        if frustum:
+                            any_hit = (child_hit_frustum(row, base, tb_max)
+                                       & valid)
+                        else:
+                            # dead rows (t_best = -inf) fail tn < t_best,
+                            # so the packet-OR spans only the live subgroup
+                            t0x = (row[0, base + 0] - o[0]) * inv[0]
+                            t0y = (row[0, base + 1] - o[1]) * inv[1]
+                            t0z = (row[0, base + 2] - o[2]) * inv[2]
+                            t1x = (row[0, base + 3] - o[0]) * inv[0]
+                            t1y = (row[0, base + 4] - o[1]) * inv[1]
+                            t1z = (row[0, base + 5] - o[2]) * inv[2]
+                            tn = jnp.maximum(
+                                jnp.maximum(jnp.minimum(t0x, t1x),
+                                            jnp.minimum(t0y, t1y)),
+                                jnp.minimum(t0z, t1z))
+                            tf = jnp.minimum(
+                                jnp.minimum(jnp.maximum(t0x, t1x),
+                                            jnp.maximum(t0y, t1y)),
+                                jnp.maximum(t0z, t1z)) * g3
+                            active = (tn <= tf) & (tf > 0.0) & (tn < t_best)
+                            any_hit = jnp.any(active) & valid
 
-                pushed = jnp.bool_(False)
-                for j in range(8):
-                    base = j * NODE_LANES
-                    if frustum:
-                        any_hit = child_hit_frustum(row, base, tb_max) & valid
-                    else:
-                        # dead rows (t_best = -inf) fail tn < t_best, so
-                        # the packet-OR below spans only the live subgroup
-                        t0x = (row[0, base + 0] - o[0]) * inv[0]
-                        t0y = (row[0, base + 1] - o[1]) * inv[1]
-                        t0z = (row[0, base + 2] - o[2]) * inv[2]
-                        t1x = (row[0, base + 3] - o[0]) * inv[0]
-                        t1y = (row[0, base + 4] - o[1]) * inv[1]
-                        t1z = (row[0, base + 5] - o[2]) * inv[2]
-                        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                                     jnp.minimum(t0y, t1y)),
-                                         jnp.minimum(t0z, t1z))
-                        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                                     jnp.maximum(t0y, t1y)),
-                                         jnp.maximum(t0z, t1z)) * g3
-                        active = (tn <= tf) & (tf > 0.0) & (tn < t_best)
-                        any_hit = jnp.any(active) & valid
+                        child_g = row[0, base + 6].astype(jnp.int32)
+                        cnt = row[0, base + 8].astype(jnp.int32)
+                        is_leaf = child_g < 0
+                        push_j = any_hit & ~is_leaf
+                        leaf_j = any_hit & is_leaf & (cnt > 0)
+                        n_chunks = jnp.where(
+                            leaf_j, (cnt + (CHUNK - 1)) // CHUNK, 0)
+                        leaf_off = row[0, base + 7].astype(jnp.int32)
+                        children.append((push_j, leaf_j, child_g, n_chunks,
+                                         leaf_off))
+                    infos.append(children)
 
-                    child_g = row[0, base + 6].astype(jnp.int32)
-                    cnt = row[0, base + 8].astype(jnp.int32)
-                    is_leaf = child_g < 0
-                    push_j = any_hit & ~is_leaf
-                    leaf_j = any_hit & is_leaf & (cnt > 0)
-
-                    @pl.when(push_j)
-                    def _():
-                        # position so the nearest child (j == octant)
-                        # pops first
-                        stack[sp + 7 - (j ^ octant)] = child_g
-
-                    n_chunks = jnp.where(leaf_j,
-                                         (cnt + (CHUNK - 1)) // CHUNK, 0)
-                    leaf_off = row[0, base + 7].astype(jnp.int32)
-                    # Static PREDICATED store loop — measured faster than
-                    # a dynamic-bound fori_loop writing exactly n_chunks
-                    # entries (822 ms vs 684 ms on the 872k shadow
-                    # wavefront: 8 nested loop setups per pop cost more
-                    # than cpl x 8 predicated SMEM stores).
-                    for k in range(cpl):
-                        @pl.when(leaf_j & (k < n_chunks))
+                # --- store phase, entries in REVERSE pop order so the
+                # first-popped (previous stack top = nearest) entry's
+                # children land on top and pop first, preserving the
+                # near-to-far heuristic across the widened iteration.
+                #
+                # Pushes are COMPACT: exactly n_pushed contiguous slots,
+                # no sentinels. The old fixed 8-slot block scheme left
+                # ~5-6 cleared (-1) slots per push block, and every one
+                # of those cost a full pop iteration later — ~2/3 of all
+                # walk iterations were sentinel pops (invisible in the
+                # node-pop counters, which count valid pops only). Slot
+                # positions keep the near-to-far order: child j's
+                # distance rank is j ^ octant (0 = nearest; xor is a
+                # bijection so ranks are distinct), pops take the highest
+                # slot first, so child j lands at
+                # sp + (# pushed children with larger rank).
+                for children in reversed(infos):
+                    ranks = [None] * 8
+                    for j in range(8):
+                        ranks[j] = j ^ octant
+                    n_pushed = jnp.int32(0)
+                    for j, (push_j, leaf_j, child_g, n_chunks,
+                            leaf_off) in enumerate(children):
+                        pj = push_j.astype(jnp.int32)
+                        above = jnp.int32(0)
+                        for j2, (push_j2, _l2, _c2, _n2,
+                                 _o2) in enumerate(children):
+                            if j2 == j:
+                                continue
+                            above = above + jnp.where(
+                                push_j2 & (ranks[j2] > ranks[j]), 1, 0)
+                        @pl.when(push_j)
                         def _():
-                            # pend entries are PACKED-ROW offsets
-                            pend[npend + k] = leaf_off + CHUNK_ROWS * k
+                            stack[sp + above] = child_g
+                        n_pushed = n_pushed + pj
 
-                    pushed = pushed | push_j
-                    npend = npend + n_chunks
+                        # Static PREDICATED store loop — measured faster
+                        # than a dynamic-bound fori_loop writing exactly
+                        # n_chunks entries (822 ms vs 684 ms on the 872k
+                        # shadow wavefront: 8 nested loop setups per pop
+                        # cost more than cpl x 8 predicated SMEM stores).
+                        for k in range(cpl):
+                            @pl.when(leaf_j & (k < n_chunks))
+                            def _():
+                                # pend entries are PACKED-ROW offsets
+                                pend[npend + k] = leaf_off + CHUNK_ROWS * k
 
-                sp = jnp.where(pushed, sp + 8, sp)
+                        npend = npend + n_chunks
+                    sp = sp + n_pushed
                 return sp, npend, pops, t_best
 
             sp, npend, pops, t_best = jax.lax.while_loop(
@@ -722,10 +774,10 @@ def octree_intersect_pallas(o, d, t_max, packed: PackedOctree,
         f"kernel would mis-traverse")
     assert RAY_SUB % ray_sub == 0
     cpl = (packed.cap + CHUNK - 1) // CHUNK
-    # The queue must hold one walk step's worst case (8 leaves x cpl
-    # chunks) with room for at least one pop — auto-grow for big leaf
-    # capacities (cap 64 at CHUNK 8 already exceeds the default 64).
-    pend_size = max(pend_size, 8 * cpl + 8)
+    # The queue must hold one walk step's worst case (WALK_WIDTH pops x
+    # 8 leaves x cpl chunks) with room for at least one step — auto-grow
+    # for big leaf capacities.
+    pend_size = max(pend_size, WALK_WIDTH * 8 * cpl + 8)
     batch_shape = o.shape[:-1]
     n = int(np.prod(batch_shape)) if batch_shape else 1
     n_pad = -(-n // TILE_R) * TILE_R    # blocks are always 8x128 rays
