@@ -80,8 +80,16 @@ def bench_cornell(res, spp, max_depth=4):
     n_pixels = res * res
     rays_per_sample = 1 + (max_depth - 1) + max_depth
     rays_per_sec = n_pixels * n_timed * rays_per_sample / dt
+    # alive-weighted ray count: 1 camera ray + continuation rays at depths
+    # 1..D-1 + NEE shadow rays at depths 0..D-1, each weighted by the
+    # measured alive fraction (dead rays ride the lockstep scan as masked
+    # work — the nominal count stays the headline, this keeps it honest)
+    eff_rays_per_sample = (1.0 + float(sum(alive[1:max_depth]))
+                           + float(sum(alive[:max_depth])))
     detail = {
         "rays_per_sec": rays_per_sec,
+        "effective_rays_per_sec": round(
+            n_pixels * n_timed * eff_rays_per_sample / dt, 1),
         "passes_timed": n_timed,
         "sec_per_spp_pass": round(dt / n_timed, 6),
         "est_sec_full_1024spp": round(dt / n_timed * spp, 2),
@@ -366,6 +374,43 @@ def bench_flagship(dragon_scene=None):
     }
 
 
+def bench_canonical():
+    """The reference's canonical workload as one committed parity block
+    (VERDICT r4 next-step #2): 500x500, stratified 10x10 spp, the 872k-tri
+    x15-scale mesh through an octree at the reference's leaf cap 40,
+    thin-lens perspective (lens 50 / focal 800), triangle half-pixel
+    filter, XYZ sensor + D65, the reference's direct Li (ambient F1 +
+    cosine white light, no shadow rays) — RayTracerTestApp.h:103-207.
+    Emits the PNG + per-pass wall time + rays/s + a CPU-golden gate."""
+    import numpy as np
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "benchmarks"))
+    import canonical
+
+    res = _env("BENCH_CANONICAL_RES", 500)
+    spp = _env("BENCH_CANONICAL_SPP", 100)
+    img, stats = canonical.render(res, spp, cap=40)
+    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "benchmarks", "data")
+    os.makedirs(out_dir, exist_ok=True)
+    from computational_ray_tracer_tpu.utils import image
+    png = os.path.join(out_dir, f"canonical_{res}.png")
+    image.write_png(png, img)
+    stats["png"] = os.path.relpath(png, os.path.dirname(
+        os.path.abspath(__file__)))
+
+    # CPU-golden gate: the same pipeline at 64x64 spp 4 vs the committed
+    # golden (tests/golden/canonical_64.npy, generated on CPU).
+    img64, _ = canonical.render(64, 4, cap=40)
+    golden = np.load(canonical.GOLDEN)
+    atol = 2e-3 * max(float(golden.max()), 1e-3)
+    diff = float(np.abs(img64 - golden).max())
+    stats["golden_gate"] = {"max_abs_diff": round(diff, 6),
+                            "atol": round(atol, 6),
+                            "ok": bool(diff <= atol)}
+    return stats
+
+
 def bench_golden_gate():
     """Render the 128x128 Cornell golden config on THIS device and compare
     against the checked-in CPU golden (BASELINE.md row 3 cross-check)."""
@@ -461,6 +506,8 @@ def main():
         detail["mesh870"] = bench_dragon870()
     if os.environ.get("BENCH_FLAGSHIP", "1") != "0":
         detail["flagship"] = bench_flagship(dragon_scene)
+    if os.environ.get("BENCH_CANONICAL", "1") != "0":
+        detail["canonical"] = bench_canonical()
     if os.environ.get("BENCH_GOLDEN", "1") != "0":
         detail["golden_gate"] = bench_golden_gate()
     if os.environ.get("BENCH_GRAD", "1") != "0":

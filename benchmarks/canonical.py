@@ -55,8 +55,14 @@ def build_scene(cap=40):
     from computational_ray_tracer_tpu.utils import mesh_gen
 
     v, f, uv = mesh_gen.dragon_stand_in()
-    v = np.asarray(v, np.float32) + np.asarray([0.0, -40.0, 800.0],
-                                               np.float32)
+    # The reference's stanford-dragon.obj is not in its repo, so its
+    # absolute scale is unknowable; the stand-in (extent ~±30) is scaled
+    # x5 so the subject spans ~300 units — ~45% of the 45° fov frame at
+    # z=800, a visible-subject framing consistent with the reference's
+    # README screenshots. Everything else (translate (0,-40,800), camera,
+    # lens, film, sampler, Li) follows RayTracerTestApp.h exactly.
+    v = np.asarray(v, np.float32) * 5.0 + np.asarray([0.0, -40.0, 800.0],
+                                                     np.float32)
     mesh = trimod.MeshData.build(v, f, uvs=uv)
     scene = Scene.build(
         materials=[{"kind": "diffuse", "albedo_rgb": (0.5, 0.5, 0.5)}],

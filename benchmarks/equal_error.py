@@ -71,26 +71,21 @@ def main():
             return integ.render_passes(scene, camera, cfg, filter_obj,
                                        sensor, sample_idx, chunk)
 
-        # compile + accumulate chunk 0
+        # untimed warm-up pass: compile must never pollute the wall-time
+        # axis (VERDICT r4 weak #6: every first curve point carried the
+        # compile — spp16 read 12.9 s where spp64 read 1.03 s on the same
+        # config, corrupting time-to-target interpolation)
+        jax.block_until_ready(chunk_pass(scene, jnp.uint32(0)))
         t0 = time.perf_counter()
-        rgb, wt = chunk_pass(scene, jnp.uint32(0))
-        jax.block_until_ready(rgb)
-        compile_and_first = time.perf_counter() - t0
-        rgb_sum, wt_sum = rgb, wt
-        t0 = time.perf_counter()
+        rgb_sum, wt_sum = chunk_pass(scene, jnp.uint32(0))
         for i in range(1, spp // chunk):
             rgb, wt = chunk_pass(scene, jnp.uint32(i * chunk))
             rgb_sum = rgb_sum + rgb
             wt_sum = wt_sum + wt
         jax.block_until_ready(rgb_sum)
-        dt_rest = time.perf_counter() - t0
-        n_rest = spp // chunk - 1
-        # per-pass time from the post-compile chunks; fall back to the
-        # first-chunk wall time when there was only one chunk
-        sec_per_spp = (dt_rest / (n_rest * chunk) if n_rest > 0
-                       else compile_and_first / chunk)
+        dt = time.perf_counter() - t0
         img = np.asarray(rgb_sum / jnp.maximum(wt_sum, 1e-9)[..., None])
-        return img, sec_per_spp * spp
+        return img, dt
 
     # --- converged reference (cached)
     data_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
