@@ -411,6 +411,56 @@ def bench_canonical():
     return stats
 
 
+def bench_deep512(dragon_scene=None):
+    """512^2 depth-8 render through the PUBLIC render() driver (VERDICT r4
+    weak #4 done-criterion): cfg.compact routes the host-driven compacted
+    bounce loop — the only code path that survives this depth/resolution
+    (the full-wavefront program trips the TPU watchdog,
+    benchmarks/compaction.json)."""
+    import jax
+    import jax.numpy as jnp
+    from computational_ray_tracer_tpu.models import integrator as integ
+    from computational_ray_tracer_tpu.ops import camera as cam
+
+    res = 512
+    scene = dragon_scene
+    if scene is None:
+        scene = _dragon_scene(_env("BENCH_MESH_SUBDIV", 7),
+                              _env("BENCH_MESH_CAP", 40))
+    camera = cam.PerspectiveCamera.create((0, 0.5, -3.4), (res, res),
+                                          fov_y=40.0, look_at=(0, 0, 0))
+    cfg = integ.RenderConfig(
+        resolution=(res, res),
+        sampler=integ.SamplerConfig(kind="sobol", spp=2),
+        integrator="path", max_depth=8,
+        compact=True, compact_quantum=8192)
+    t0 = time.perf_counter()
+    film, sensor = integ.render(scene, camera, cfg, passes=1)
+    jax.block_until_ready(film.rgb_sum)
+    cold = time.perf_counter() - t0
+    # steady state: later passes can still hit novel compacted-bucket
+    # sizes (each size compiles once); report the fastest of a few
+    cfg_more = dataclasses.replace(
+        cfg, sampler=dataclasses.replace(cfg.sampler, spp=4))
+    warm = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        film, sensor = integ.render(scene, camera, cfg_more, film=film,
+                                    passes=1)
+        jax.block_until_ready(film.rgb_sum)
+        dt = time.perf_counter() - t0
+        warm = dt if warm is None else min(warm, dt)
+    rays = res * res * (1 + 7 + 8)
+    return {"res": res, "max_depth": 8,
+            "compile_plus_first_pass_sec": round(cold, 1),
+            "warm_pass_sec": round(warm, 3),
+            "rays_per_sec_warm": round(rays / warm, 1),
+            "img_mean": round(float(jnp.mean(
+                film.rgb_sum / jnp.maximum(film.weight_sum[..., None],
+                                           1e-9))), 5),
+            "ok": True}
+
+
 def bench_golden_gate():
     """Render the 128x128 Cornell golden config on THIS device and compare
     against the checked-in CPU golden (BASELINE.md row 3 cross-check)."""
@@ -508,6 +558,8 @@ def main():
         detail["flagship"] = bench_flagship(dragon_scene)
     if os.environ.get("BENCH_CANONICAL", "1") != "0":
         detail["canonical"] = bench_canonical()
+    if os.environ.get("BENCH_DEEP512", "1") != "0":
+        detail["deep512"] = bench_deep512(dragon_scene)
     if os.environ.get("BENCH_GOLDEN", "1") != "0":
         detail["golden_gate"] = bench_golden_gate()
     if os.environ.get("BENCH_GRAD", "1") != "0":

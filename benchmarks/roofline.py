@@ -83,6 +83,11 @@ def main():
     util_vpu = achieved_flops / V5E_VPU_F32_FLOPS
     util_hbm = achieved_bw / V5E_HBM_BYTES_PER_S
     limiter = "HBM bandwidth" if util_hbm > util_vpu else "VPU f32 compute"
+    if max(util_hbm, util_vpu) < 0.15:
+        limiter = ("issue latency / occupancy — both VPU and HBM are far "
+                   "below peak, so the bound is kernel-launch gaps, "
+                   "gather/select issue rates and dependency chains, not "
+                   "a hard resource ceiling")
     rec = {
         "config": f"cornell {res}x{res} path/MIS depth {args.max_depth} "
                   f"sobol, chunk {chunk} spp",

@@ -21,6 +21,7 @@ Li → sensor RGB → weighted film accumulation, for every pixel at once.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from functools import partial
 from typing import Any
 
@@ -556,10 +557,17 @@ def _swizzled_pixels(w, h, tile=32):
     return _tile_perm(w, h, tile)
 
 
+@functools.lru_cache(maxsize=64)
 def make_filter(cfg: RenderConfig):
+    # Memoized per (frozen) config: repeated render() calls must hand the
+    # SAME filter instance to the compact pipeline, whose program cache is
+    # keyed by object identity — fresh instances per call retraced the
+    # whole bounce pipeline every pass (measured 13 s vs 0.7 s per
+    # depth-8 512^2 pass on a resume-style per-pass render() loop).
     return flt.FILTERS[cfg.filter_name](cfg.filter_radius)
 
 
+@functools.lru_cache(maxsize=64)
 def make_sensor(cfg: RenderConfig):
     return sen.PixelSensor.create(cfg.sensor_name)
 
@@ -709,23 +717,55 @@ def _compact_fns(cfg: RenderConfig, mode: str, camera, filter_obj, sensor):
     return fns
 
 
+# Per-(cfg, camera) alive-count schedules from completed compacted passes:
+# later passes predict bucket sizes from the last pass instead of paying a
+# device->host count readback per bounce (a full sync — measured dominant
+# at depth 8 on remote-attached TPUs: 11.2 s/pass where the bounce kernels
+# themselves are sub-second).
+_BUCKET_SCHEDULE = {}
+
+
 def render_pass_compact(scene, camera, cfg: RenderConfig, filter_obj,
                         sensor, sample_idx):
     """One spp pass with between-bounce wavefront compaction. Sample
     values are identical to render_pass (asserted by tests); only the set
-    of rays carried through each bounce shrinks. Host-driven: one alive-
-    count readback per bounce chooses the bucket size."""
+    of rays carried through each bounce shrinks.
+
+    Host-driven with PREDICTED buckets: the first pass reads the alive
+    count back per bounce (exact path) and records the schedule;
+    subsequent passes size each bucket from the recorded counts (with
+    headroom), verify on-device that every actual count fit its bucket,
+    and read ONE flag back at the end — if any bucket overflowed (alive
+    set grew vs the schedule), the pass is redone on the exact path, so
+    results are always identical to the exact path."""
     assert cfg.integrator != "direct", "compaction needs a multi-bounce mode"
     mode = {"walk": "walk", "simple": "simple"}.get(cfg.integrator, "mis")
+    fns = _compact_fns(cfg, mode, camera, filter_obj, sensor)
     (prologue, count_alive, select, gather, bounce_sub, scatter,
-     epilogue) = _compact_fns(cfg, mode, camera, filter_obj, sensor)
+     epilogue) = fns
 
+    sched_key = (cfg, mode, id(camera))
+    sched = _BUCKET_SCHEDULE.get(sched_key)
+    if sched is not None:
+        out = _compact_pass_predicted(scene, cfg, fns, sched, sched_key,
+                                      sample_idx)
+        if out is not None:
+            return out
+        # overflow: fall through to the exact path (and re-record)
+    return _compact_pass_exact(scene, cfg, fns, sched_key, sample_idx)
+
+
+def _compact_pass_exact(scene, cfg, fns, sched_key, sample_idx):
+    (prologue, count_alive, select, gather, bounce_sub, scatter,
+     epilogue) = fns
     w, h = cfg.resolution
     n = w * h
     q = cfg.compact_quantum
     state, pixel, fw = prologue(scene, jnp.uint32(sample_idx))
+    counts = []
     for depth in range(cfg.max_depth):
         k = int(count_alive(state["alive"]))            # host sync
+        counts.append(k)
         if k == 0:
             break
         # Buckets above n/2 round UP to the full wavefront: an in-place
@@ -753,7 +793,52 @@ def render_pass_compact(scene, camera, cfg: RenderConfig, filter_obj,
             sub_new = bounce_sub(scene, sub, jnp.uint32(depth), pixel_sub,
                                  jnp.uint32(sample_idx))
             state = scatter(state, sub_new, idx)
+    _BUCKET_SCHEDULE[sched_key] = counts
     return epilogue(state, fw, pixel)
+
+
+def _compact_pass_predicted(scene, cfg, fns, sched, sched_key, sample_idx):
+    """Prediction path: bucket sizes from the recorded schedule (x1.15
+    headroom, quantized), actual alive counts accumulated ON DEVICE and
+    checked against the buckets with a single end-of-pass readback.
+    Returns the (rgb, weight) pass output, or None on overflow (caller
+    redoes the pass on the exact path)."""
+    (prologue, count_alive, select, gather, bounce_sub, scatter,
+     epilogue) = fns
+    w, h = cfg.resolution
+    n = w * h
+    q = cfg.compact_quantum
+    state, pixel, fw = prologue(scene, jnp.uint32(sample_idx))
+    fit = jnp.bool_(True)
+    for depth in range(cfg.max_depth):
+        # A zero/absent prediction still gets a one-quantum floor bucket:
+        # the schedule comes from a DIFFERENT sample pass, and RR kills
+        # differ per sample — breaking out early on k_pred == 0 made
+        # every pass whose wavefront outlived pass 0's fail the fit check
+        # and redo at double cost.
+        k_pred = sched[depth] if depth < len(sched) else 0
+        k_sized = min(int(k_pred * 1.15) + q, n)
+        bucket = n if k_sized > n // 2 else min(n, -(-k_sized // q) * q)
+        # the actual count must fit the bucket (checked on device)
+        fit = fit & (count_alive(state["alive"]) <= bucket)
+        if depth == 0 and bucket >= n:
+            state = bounce_sub(scene, state, jnp.uint32(depth), pixel,
+                               jnp.uint32(sample_idx))
+            continue
+        idx = select(state["alive"], state["d"], state["o"], bucket)
+        if bucket >= n:
+            state, pixel = gather(state, pixel, idx)
+            state = bounce_sub(scene, state, jnp.uint32(depth), pixel,
+                               jnp.uint32(sample_idx))
+        else:
+            sub, pixel_sub = gather(state, pixel, idx)
+            sub_new = bounce_sub(scene, sub, jnp.uint32(depth), pixel_sub,
+                                 jnp.uint32(sample_idx))
+            state = scatter(state, sub_new, idx)
+    rgb, wt = epilogue(state, fw, pixel)
+    if not bool(fit):                                   # ONE host sync
+        return None
+    return rgb, wt
 
 
 def render_passes(scene, camera, cfg: RenderConfig, filter_obj, sensor,

@@ -116,3 +116,50 @@ def test_compact_mesh_octree_scene():
                                          sensor, jnp.uint32(0))
     np.testing.assert_allclose(np.asarray(rgb_c), np.asarray(rgb_f),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_compact_predicted_schedule_matches_exact():
+    """Pass 2+ uses the predicted-bucket path (schedule recorded by pass
+    1, single end-of-pass overflow check); every pass must still equal the
+    full-wavefront render bit-for-bit-close."""
+    scene, camera, _ = _cornell_setup(res=32, spp=4)
+    cfg = integ.RenderConfig(
+        resolution=(32, 32),
+        sampler=integ.SamplerConfig(kind="sobol", spp=4),
+        integrator="path", max_depth=6, compact=True, compact_quantum=128)
+    filter_obj = integ.make_filter(cfg)
+    sensor = integ.make_sensor(cfg)
+    integ._BUCKET_SCHEDULE.clear()
+    for s in range(3):
+        rgb_c, wt_c = integ.render_pass_compact(scene, camera, cfg,
+                                                filter_obj, sensor,
+                                                jnp.uint32(s))
+        rgb_f, wt_f = integ.render_pass(scene, camera, cfg, filter_obj,
+                                        sensor, jnp.uint32(s))
+        np.testing.assert_allclose(np.asarray(rgb_c), np.asarray(rgb_f),
+                                   rtol=1e-4, atol=1e-5, err_msg=f"pass {s}")
+    # the schedule must have been recorded by the first (exact) pass
+    assert any(len(v) > 0 for v in integ._BUCKET_SCHEDULE.values())
+
+
+def test_compact_predicted_overflow_redoes_exactly():
+    """A poisoned schedule (all-zero counts) must be detected by the
+    on-device fit check and redone on the exact path — same image."""
+    scene, camera, _ = _cornell_setup(res=16, spp=2)
+    cfg = integ.RenderConfig(
+        resolution=(16, 16),
+        sampler=integ.SamplerConfig(kind="sobol", spp=2),
+        integrator="path", max_depth=4, compact=True, compact_quantum=64)
+    filter_obj = integ.make_filter(cfg)
+    sensor = integ.make_sensor(cfg)
+    integ._BUCKET_SCHEDULE.clear()
+    rgb_ref, _ = integ.render_pass(scene, camera, cfg, filter_obj, sensor,
+                                   jnp.uint32(0))
+    # poison: schedule claims the wavefront is dead at depth 0
+    mode = "mis"
+    key = (cfg, mode, id(camera))
+    integ._BUCKET_SCHEDULE[key] = [0]
+    rgb_c, _ = integ.render_pass_compact(scene, camera, cfg, filter_obj,
+                                         sensor, jnp.uint32(0))
+    np.testing.assert_allclose(np.asarray(rgb_c), np.asarray(rgb_ref),
+                               rtol=1e-4, atol=1e-5)
