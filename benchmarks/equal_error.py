@@ -74,8 +74,11 @@ def main():
         # untimed warm-up pass: compile must never pollute the wall-time
         # axis (VERDICT r4 weak #6: every first curve point carried the
         # compile — spp16 read 12.9 s where spp64 read 1.03 s on the same
-        # config, corrupting time-to-target interpolation)
-        jax.block_until_ready(chunk_pass(scene, jnp.uint32(0)))
+        # config, corrupting time-to-target interpolation). The warm-up
+        # uses a sentinel sample index: this runtime services a repeat of
+        # an identical dispatch near-instantly, so warming on index 0
+        # would make the first timed chunk read ~0.
+        jax.block_until_ready(chunk_pass(scene, jnp.uint32(0x7FFFFFF0)))
         t0 = time.perf_counter()
         rgb_sum, wt_sum = chunk_pass(scene, jnp.uint32(0))
         for i in range(1, spp // chunk):

@@ -51,13 +51,18 @@ def emit(rec):
 
 
 def timed(fn, *args):
+    # convention: args = (o, d, t, ...). Each rep perturbs t by an
+    # epsilon — this runtime services a repeat of an identical dispatch
+    # near-instantly, which silently zeroes repeat-timings.
     t0 = time.perf_counter()
     out = fn(*args)
     jax.block_until_ready(out)
     cdt = time.perf_counter() - t0
     t0 = time.perf_counter()
-    for _ in range(REPEATS):
-        out = fn(*args)
+    for r in range(REPEATS):
+        av = (args[0], args[1],
+              args[2] * (1.0 + 1e-7 * (r + 1))) + args[3:]
+        out = fn(*av)
     jax.block_until_ready(out)
     return out, (time.perf_counter() - t0) / REPEATS, cdt
 
