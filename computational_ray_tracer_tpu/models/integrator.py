@@ -867,6 +867,37 @@ def render_passes(scene, camera, cfg: RenderConfig, filter_obj, sensor,
     return rgb_sum, wt_sum
 
 
+# Jitted render programs cached ACROSS render() calls (keyed by config +
+# component identities — make_filter/make_sensor are memoized per config,
+# so the ids are stable): a fresh jit object per render() call would pay
+# a full XLA recompile on every resume-style call (measured: a "warm"
+# second render() of the 256^2 Cornell config spent ~2 minutes
+# recompiling a program that renders in 0.4 s).
+_RENDER_PROG_CACHE = {}
+
+
+def _render_progs(cfg, camera, filter_obj, sensor):
+    key = (cfg, id(camera), id(filter_obj), id(sensor))
+    if key in _RENDER_PROG_CACHE:
+        return _RENDER_PROG_CACHE[key]
+
+    @partial(jax.jit, static_argnames=("n",))
+    def chunk_pass(scene_, film_, sample_idx, n):
+        rgb_sum, wt_sum = render_passes(scene_, camera, cfg, filter_obj,
+                                        sensor, sample_idx, n)
+        return filmmod.Film(film_.rgb_sum + rgb_sum,
+                            film_.weight_sum + wt_sum,
+                            film_.spp_done + n)
+
+    @jax.jit
+    def accum(film_, rgb, wt):
+        return filmmod.Film(film_.rgb_sum + rgb * wt[..., None],
+                            film_.weight_sum + wt, film_.spp_done + 1)
+
+    _RENDER_PROG_CACHE[key] = (chunk_pass, accum)
+    return chunk_pass, accum
+
+
 def render(scene, camera, cfg: RenderConfig, film=None, progress=None,
            passes=None, chunk=1):
     """Progressive render: cfg.sampler.spp passes accumulated into a Film
@@ -891,19 +922,7 @@ def render(scene, camera, cfg: RenderConfig, film=None, progress=None,
     if film is None:
         film = filmmod.Film.create(cfg.resolution)
     use_compact = cfg.compact and cfg.integrator != "direct"
-
-    @partial(jax.jit, static_argnames=("n",))
-    def chunk_pass(scene_, film_, sample_idx, n):
-        rgb_sum, wt_sum = render_passes(scene_, camera, cfg, filter_obj,
-                                        sensor, sample_idx, n)
-        return filmmod.Film(film_.rgb_sum + rgb_sum,
-                            film_.weight_sum + wt_sum,
-                            film_.spp_done + n)
-
-    @jax.jit
-    def accum(film_, rgb, wt):
-        return filmmod.Film(film_.rgb_sum + rgb * wt[..., None],
-                            film_.weight_sum + wt, film_.spp_done + 1)
+    chunk_pass, accum = _render_progs(cfg, camera, filter_obj, sensor)
 
     start = int(film.spp_done)
     stop = cfg.sampler.spp if passes is None else min(cfg.sampler.spp,
