@@ -634,9 +634,14 @@ def _compact_fns(cfg: RenderConfig, mode: str, camera, filter_obj, sensor):
     The alive count is read back to the host once per bounce — the only
     sync — to pick the bucket size; each distinct bucket size compiles
     once and is reused across passes."""
+    # id()-keyed caches must pin their keyed objects: a GC'd camera's id
+    # can be recycled by a DIFFERENT camera, aliasing the entry (the
+    # cached programs have the old camera's parameters baked in). The
+    # strong reference stored with the entry makes id reuse impossible
+    # while the entry lives.
     key = (cfg, mode, id(camera), id(filter_obj), id(sensor))
     if key in _COMPACT_CACHE:
-        return _COMPACT_CACHE[key]
+        return _COMPACT_CACHE[key][0]
 
     @jax.jit
     def prologue(scene, sample_idx):
@@ -713,7 +718,7 @@ def _compact_fns(cfg: RenderConfig, mode: str, camera, filter_obj, sensor):
 
     fns = (prologue, count_alive, select, gather, bounce_sub, scatter,
            epilogue)
-    _COMPACT_CACHE[key] = fns
+    _COMPACT_CACHE[key] = (fns, (camera, filter_obj, sensor))
     return fns
 
 
@@ -745,17 +750,18 @@ def render_pass_compact(scene, camera, cfg: RenderConfig, filter_obj,
      epilogue) = fns
 
     sched_key = (cfg, mode, id(camera))
-    sched = _BUCKET_SCHEDULE.get(sched_key)
-    if sched is not None:
-        out = _compact_pass_predicted(scene, cfg, fns, sched, sched_key,
+    entry = _BUCKET_SCHEDULE.get(sched_key)
+    if entry is not None:
+        out = _compact_pass_predicted(scene, cfg, fns, entry[1], sched_key,
                                       sample_idx)
         if out is not None:
             return out
         # overflow: fall through to the exact path (and re-record)
-    return _compact_pass_exact(scene, cfg, fns, sched_key, sample_idx)
+    return _compact_pass_exact(scene, cfg, fns, sched_key, sample_idx,
+                               camera)
 
 
-def _compact_pass_exact(scene, cfg, fns, sched_key, sample_idx):
+def _compact_pass_exact(scene, cfg, fns, sched_key, sample_idx, camera):
     (prologue, count_alive, select, gather, bounce_sub, scatter,
      epilogue) = fns
     w, h = cfg.resolution
@@ -793,7 +799,8 @@ def _compact_pass_exact(scene, cfg, fns, sched_key, sample_idx):
             sub_new = bounce_sub(scene, sub, jnp.uint32(depth), pixel_sub,
                                  jnp.uint32(sample_idx))
             state = scatter(state, sub_new, idx)
-    _BUCKET_SCHEDULE[sched_key] = counts
+    # the strong camera ref pins the id()-keyed entry (see _compact_fns)
+    _BUCKET_SCHEDULE[sched_key] = (camera, counts)
     return epilogue(state, fw, pixel)
 
 
@@ -877,9 +884,10 @@ _RENDER_PROG_CACHE = {}
 
 
 def _render_progs(cfg, camera, filter_obj, sensor):
+    # strong refs stored with the entry pin the id()s (see _compact_fns)
     key = (cfg, id(camera), id(filter_obj), id(sensor))
     if key in _RENDER_PROG_CACHE:
-        return _RENDER_PROG_CACHE[key]
+        return _RENDER_PROG_CACHE[key][0]
 
     @partial(jax.jit, static_argnames=("n",))
     def chunk_pass(scene_, film_, sample_idx, n):
@@ -894,7 +902,8 @@ def _render_progs(cfg, camera, filter_obj, sensor):
         return filmmod.Film(film_.rgb_sum + rgb * wt[..., None],
                             film_.weight_sum + wt, film_.spp_done + 1)
 
-    _RENDER_PROG_CACHE[key] = (chunk_pass, accum)
+    _RENDER_PROG_CACHE[key] = ((chunk_pass, accum),
+                               (camera, filter_obj, sensor))
     return chunk_pass, accum
 
 

@@ -139,7 +139,8 @@ def test_compact_predicted_schedule_matches_exact():
         np.testing.assert_allclose(np.asarray(rgb_c), np.asarray(rgb_f),
                                    rtol=1e-4, atol=1e-5, err_msg=f"pass {s}")
     # the schedule must have been recorded by the first (exact) pass
-    assert any(len(v) > 0 for v in integ._BUCKET_SCHEDULE.values())
+    assert any(len(counts) > 0
+               for (_cam, counts) in integ._BUCKET_SCHEDULE.values())
 
 
 def test_compact_predicted_overflow_redoes_exactly():
@@ -158,7 +159,7 @@ def test_compact_predicted_overflow_redoes_exactly():
     # poison: schedule claims the wavefront is dead at depth 0
     mode = "mis"
     key = (cfg, mode, id(camera))
-    integ._BUCKET_SCHEDULE[key] = [0]
+    integ._BUCKET_SCHEDULE[key] = (camera, [0])
     rgb_c, _ = integ.render_pass_compact(scene, camera, cfg, filter_obj,
                                          sensor, jnp.uint32(0))
     np.testing.assert_allclose(np.asarray(rgb_c), np.asarray(rgb_ref),
