@@ -823,9 +823,16 @@ def _compact_pass_predicted(scene, cfg, fns, sched, sched_key, sample_idx):
         # differ per sample — breaking out early on k_pred == 0 made
         # every pass whose wavefront outlived pass 0's fail the fit check
         # and redo at double cost.
-        k_pred = sched[depth] if depth < len(sched) else 0
-        k_sized = min(int(k_pred * 1.15) + q, n)
-        bucket = n if k_sized > n // 2 else min(n, -(-k_sized // q) * q)
+        #
+        # Bucket sizing is IDENTICAL to the exact path's formula (no
+        # headroom): any other sizing creates bucket sizes the exact pass
+        # never compiled, and each novel size costs a fresh bounce-program
+        # compile — measured 6.2 s/pass on the flagship's 4-pass warm
+        # window vs 0.32 s steady (x1.15-headroom sizing). Counts that
+        # drift across a quantum boundary just overflow-redo that pass
+        # (rare, and both sizes are compiled after the first redo).
+        k_pred = max(sched[depth] if depth < len(sched) else 0, 1)
+        bucket = n if k_pred > n // 2 else min(n, -(-k_pred // q) * q)
         # the actual count must fit the bucket (checked on device)
         fit = fit & (count_alive(state["alive"]) <= bucket)
         if depth == 0 and bucket >= n:
