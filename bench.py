@@ -181,7 +181,11 @@ def bench_dragon():
     subdiv = _env("BENCH_MESH_SUBDIV", 7)
     res = _env("BENCH_MESH_RES", 512)
     spp = _env("BENCH_MESH_SPP", 4)
-    cap = _env("BENCH_MESH_CAP", 40)
+    # cap 192 measured best post compact-push walk (r5 sweep on the 327k
+    # direct pass: 2.59M rays/s at the reference's cap 40, 3.34M at 96,
+    # 3.77M at 192, 3.73M at 256 — the cheaper walk moved the optimum up;
+    # the canonical parity block keeps the reference's cap 40).
+    cap = _env("BENCH_MESH_CAP", 192)
 
     t0 = time.perf_counter()
     scene = _dragon_scene(subdiv, cap)
@@ -321,7 +325,7 @@ def bench_flagship(dragon_scene=None):
     scene = dragon_scene
     if scene is None:
         scene = _dragon_scene(_env("BENCH_MESH_SUBDIV", 7),
-                              _env("BENCH_MESH_CAP", 40))
+                              _env("BENCH_MESH_CAP", 192))
     # texture the dragon (uvmap.png analog: procedural checker through the
     # rgb2spec sigmoid table) and light it like the reference scene
     tex = mesh_gen.checker_texture(256)
@@ -431,7 +435,7 @@ def bench_deep512(dragon_scene=None):
     scene = dragon_scene
     if scene is None:
         scene = _dragon_scene(_env("BENCH_MESH_SUBDIV", 7),
-                              _env("BENCH_MESH_CAP", 40))
+                              _env("BENCH_MESH_CAP", 192))
     camera = cam.PerspectiveCamera.create((0, 0.5, -3.4), (res, res),
                                           fov_y=40.0, look_at=(0, 0, 0))
     cfg = integ.RenderConfig(
