@@ -411,12 +411,7 @@ def bench_canonical():
     # CPU-golden gate: the same pipeline at 64x64 spp 4 vs the committed
     # golden (tests/golden/canonical_64.npy, generated on CPU).
     img64, _ = canonical.render(64, 4, cap=40)
-    golden = np.load(canonical.GOLDEN)
-    atol = 2e-3 * max(float(golden.max()), 1e-3)
-    diff = float(np.abs(img64 - golden).max())
-    stats["golden_gate"] = {"max_abs_diff": round(diff, 6),
-                            "atol": round(atol, 6),
-                            "ok": bool(diff <= atol)}
+    stats["golden_gate"] = canonical.check_golden(img64)
     return stats
 
 

@@ -47,6 +47,18 @@ GOLDEN = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "tests", "golden", "canonical_64.npy")
 
 
+def check_golden(img):
+    """Compare a 64x64 spp-4 canonical render against the committed CPU
+    golden. The single tolerance definition shared by the bench gate and
+    --check-golden."""
+    import numpy as np
+    golden = np.load(GOLDEN)
+    atol = 2e-3 * max(float(golden.max()), 1e-3)
+    diff = float(np.abs(img - golden).max())
+    return {"max_abs_diff": round(diff, 6), "atol": round(atol, 6),
+            "ok": bool(diff <= atol)}
+
+
 def build_scene(cap=40):
     import numpy as np
     import jax.numpy as jnp
@@ -200,12 +212,7 @@ def main():
             np.save(GOLDEN, img)
             print("wrote", GOLDEN)
         else:
-            golden = np.load(GOLDEN)
-            atol = 2e-3 * max(float(golden.max()), 1e-3)
-            diff = float(np.abs(img - golden).max())
-            print(json.dumps({"golden_max_abs_diff": round(diff, 6),
-                              "atol": round(atol, 6),
-                              "ok": bool(diff <= atol)}))
+            print(json.dumps(check_golden(img)))
         return
 
     img, stats = render(args.res, args.spp, args.cap, progress=True)

@@ -1,4 +1,7 @@
-"""Focused sweep of the anyhit (NEE shadow) kernel on the 872k-tri mesh —
+"""
+NOTE: the 872k scene/camera/wavefront here mirror bench.bench_dragon870
+(the source of truth) — keep them in sync when the bench scene changes.
+Focused sweep of the anyhit (NEE shadow) kernel on the 872k-tri mesh —
 the stage that dominates the direct pass (profile_mesh_pass: 1137 ms of a
 934 ms pass vs 155 ms closest-hit). Sweeps leaf capacity x ray_sub x
 frustum x sorted/unsorted on the REAL shadow wavefront (distant+ambient

@@ -1,4 +1,7 @@
-"""Shadow-anyhit sweep round 2 on the 872k mesh: leaf capacity (the leaf
+"""
+NOTE: the 872k scene/camera/wavefront here mirror bench.bench_dragon870
+(the source of truth) — keep them in sync when the bench scene changes.
+Shadow-anyhit sweep round 2 on the 872k mesh: leaf capacity (the leaf
 phase is 8x cheaper post-packing, so much bigger leaves may now win) x
 packet sort-key variants (origin-major vs direction-major grouping for
 the incoherent NEE wavefront), plus walk-only decomposition and per-ray

@@ -618,6 +618,17 @@ def render_pass(scene, camera, cfg: RenderConfig, filter_obj, sensor,
 # ---------------------------------------------------------------------------
 
 _COMPACT_CACHE = {}
+# Identity-keyed program caches are FIFO-bounded: every entry pins its
+# camera/filter/sensor AND compiled XLA executables, so an unbounded dict
+# leaks monotonically in camera-sweep / per-frame-camera workloads (and
+# an id-keyed cache can never hit for fresh objects anyway).
+_CACHE_MAX_ENTRIES = 64
+
+
+def _cache_put(cache, key, value):
+    if len(cache) >= _CACHE_MAX_ENTRIES:
+        cache.pop(next(iter(cache)))
+    cache[key] = value
 
 
 def _compact_fns(cfg: RenderConfig, mode: str, camera, filter_obj, sensor):
@@ -718,7 +729,7 @@ def _compact_fns(cfg: RenderConfig, mode: str, camera, filter_obj, sensor):
 
     fns = (prologue, count_alive, select, gather, bounce_sub, scatter,
            epilogue)
-    _COMPACT_CACHE[key] = (fns, (camera, filter_obj, sensor))
+    _cache_put(_COMPACT_CACHE, key, (fns, (camera, filter_obj, sensor)))
     return fns
 
 
@@ -752,8 +763,7 @@ def render_pass_compact(scene, camera, cfg: RenderConfig, filter_obj,
     sched_key = (cfg, mode, id(camera))
     entry = _BUCKET_SCHEDULE.get(sched_key)
     if entry is not None:
-        out = _compact_pass_predicted(scene, cfg, fns, entry[1], sched_key,
-                                      sample_idx)
+        out = _compact_pass_predicted(scene, cfg, fns, entry[1], sample_idx)
         if out is not None:
             return out
         # overflow: fall through to the exact path (and re-record)
@@ -800,16 +810,16 @@ def _compact_pass_exact(scene, cfg, fns, sched_key, sample_idx, camera):
                                  jnp.uint32(sample_idx))
             state = scatter(state, sub_new, idx)
     # the strong camera ref pins the id()-keyed entry (see _compact_fns)
-    _BUCKET_SCHEDULE[sched_key] = (camera, counts)
+    _cache_put(_BUCKET_SCHEDULE, sched_key, (camera, counts))
     return epilogue(state, fw, pixel)
 
 
-def _compact_pass_predicted(scene, cfg, fns, sched, sched_key, sample_idx):
-    """Prediction path: bucket sizes from the recorded schedule (x1.15
-    headroom, quantized), actual alive counts accumulated ON DEVICE and
-    checked against the buckets with a single end-of-pass readback.
-    Returns the (rgb, weight) pass output, or None on overflow (caller
-    redoes the pass on the exact path)."""
+def _compact_pass_predicted(scene, cfg, fns, sched, sample_idx):
+    """Prediction path: bucket sizes from the recorded schedule using the
+    exact path's own quantized sizing (NO headroom — see the in-body
+    note), actual alive counts checked against the buckets ON DEVICE with
+    a single end-of-pass readback. Returns the (rgb, weight) pass output,
+    or None on overflow (caller redoes the pass on the exact path)."""
     (prologue, count_alive, select, gather, bounce_sub, scatter,
      epilogue) = fns
     w, h = cfg.resolution
@@ -909,8 +919,8 @@ def _render_progs(cfg, camera, filter_obj, sensor):
         return filmmod.Film(film_.rgb_sum + rgb * wt[..., None],
                             film_.weight_sum + wt, film_.spp_done + 1)
 
-    _RENDER_PROG_CACHE[key] = ((chunk_pass, accum),
-                               (camera, filter_obj, sensor))
+    _cache_put(_RENDER_PROG_CACHE, key,
+               ((chunk_pass, accum), (camera, filter_obj, sensor)))
     return chunk_pass, accum
 
 

@@ -92,6 +92,12 @@ DMA_SLOTS = int(os.environ.get("CRT_DMA_SLOTS", "2"))
 # pushes, width 1 measured best (342 ms vs 349 at width 2 on the 872k
 # shadow wavefront); the widening machinery stays for sweeps.
 WALK_WIDTH = int(os.environ.get("CRT_WALK_WIDTH", "1"))
+# The stack budget must cover depth growth plus WALK_WIDTH transient push
+# blocks (walk_cond guards only the pend queue, never sp — an oversized
+# sweep width would silently overflow the SMEM scratch).
+assert 8 * 24 + WALK_WIDTH * 8 + 8 <= STACK_SIZE, (
+    f"CRT_WALK_WIDTH={WALK_WIDTH} exceeds the STACK_SIZE={STACK_SIZE} "
+    f"budget (8*depth + width*8 transient)")
 
 
 def _gamma(n):

@@ -278,17 +278,21 @@ _JOE_KUO = [
 
 def _load_tail_initials(first_dim, n_needed):
     """Committed CBC-searched initials for dims >= first_dim (see
-    tools/gen_sobol_tail.py). Returns a list of (s, a, m_init) or None."""
+    tools/gen_sobol_tail.py). Returns UP TO n_needed (s, a, m_init) rows —
+    a request beyond the committed table returns what the table holds so
+    callers synthesize only the excess (an all-or-nothing load would
+    silently discard the whole validated tail the moment n_dims grows
+    past the table), or None if the table is absent/mismatched."""
     import os as _os
     path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
                          "data", "sobol_tail.npz")
     if not _os.path.exists(path):
         return None
     z = np.load(path)
-    if int(z["first_dim"]) != first_dim or z["s"].shape[0] < n_needed:
+    if int(z["first_dim"]) != first_dim:
         return None
     out = []
-    for i in range(n_needed):
+    for i in range(min(n_needed, int(z["s"].shape[0]))):
         s = int(z["s"][i])
         out.append((s, int(z["a"][i]), [int(v) for v in z["m"][i, :s]]))
     return out
@@ -303,9 +307,12 @@ def _sobol_matrices(n_dims=72, n_bits=32):
     if n_dims - 1 > len(jk):
         n_extra = (n_dims - 1) - len(jk)
         tail = _load_tail_initials(len(jk) + 2, n_extra)
-        if tail is not None:
+        if tail:
             jk.extend(tail)
-        else:   # emergency fallback: valid (odd, in-range) but unscored
+        if n_dims - 1 > len(jk):
+            # emergency fallback for dims past the committed table only:
+            # valid (odd, in-range) but unscored hashed initials
+            n_extra = (n_dims - 1) - len(jk)
             extra = _primitive_polys_gf2(len(jk) + n_extra)[len(jk):]
             rng_h = np.uint64(0x9E3779B97F4A7C15)
             state = np.uint64(12345)

@@ -218,9 +218,9 @@ def test_sobol_deep_dims_chi_square_uniform():
     inherent (4,4)-split striping; Owen scrambling permutes dyadic boxes
     so per-resolution box counts (and this chi2) are scramble-invariant —
     that is the public data's quality, excluded rather than gated."""
+    # the range deliberately starts past the striped published pair
+    # (rows 29/30) — see the docstring
     for d0 in list(range(30, 37)) + list(range(37, 71, 4)):
-        if d0 == 29:
-            continue
         n = 4096
         idx = jnp.arange(n, dtype=jnp.uint32)
         x = np.asarray(rng.u32_to_float(rng.sobol_sample_u32(idx, d0)))
