@@ -229,3 +229,21 @@ def test_sobol_deep_dims_chi_square_uniform():
         expected = n / 256
         chi2 = float(((bins - expected) ** 2 / expected).sum())
         assert chi2 < 90.0, (d0, chi2)
+
+
+def test_sobol_tail_partial_load_keeps_committed_rows():
+    """Requesting more dims than the committed table holds must return
+    the committed rows (callers synthesize only the excess) — an
+    all-or-nothing load would silently regress every tail dim to hashed
+    initials the moment n_dims grows."""
+    from computational_ray_tracer_tpu.ops.rng import (_JOE_KUO,
+                                                      _load_tail_initials,
+                                                      _sobol_matrices,
+                                                      SOBOL_MATRICES)
+    first = len(_JOE_KUO) + 2
+    committed = _load_tail_initials(first, 10_000)
+    assert committed is not None and len(committed) >= 35
+    # a widened table keeps the committed prefix bit-identical
+    V = _sobol_matrices(n_dims=80)
+    np.testing.assert_array_equal(V[:SOBOL_MATRICES.shape[0]],
+                                  SOBOL_MATRICES)
