@@ -140,3 +140,43 @@ def test_frustum_walk_matches_vector_walk():
     m = np.isfinite(np.asarray(out_f[0]))
     np.testing.assert_allclose(np.asarray(out_f[0])[m],
                                np.asarray(out_v[0])[m], rtol=1e-6)
+
+
+def test_walk_width_2_matches_default():
+    """CRT_WALK_WIDTH is read at import time, so the non-default width-2
+    walk is exercised in a subprocess (interpret mode): its intersections
+    must match the width-1 default bit-for-bit."""
+    import os
+    import subprocess
+    import sys
+    code = r"""
+import os, sys
+import numpy as np
+import jax, jax.numpy as jnp
+from computational_ray_tracer_tpu.ops import triangle as trimod
+from computational_ray_tracer_tpu.ops import octree as octmod
+from computational_ray_tracer_tpu.ops import pallas_octree as poct
+from computational_ray_tracer_tpu.utils import mesh_gen
+assert poct.WALK_WIDTH == int(os.environ["CRT_WALK_WIDTH"])
+v, f, uv = mesh_gen.displaced_icosphere(2)
+mesh = trimod.MeshData.build(v, f, uvs=uv)
+tree, packed = octmod.build_octree(mesh, capacity=16, pack=True)
+rs = np.random.RandomState(3)
+n = 1024
+o = np.tile(np.array([[0, 0.5, -3.4]], np.float32), (n, 1))
+tgt = rs.randn(n, 3).astype(np.float32) * 0.4
+d = tgt - o
+d /= np.linalg.norm(d, axis=1, keepdims=True)
+t, tri, b1, b2, _ = poct.octree_intersect_pallas(
+    jnp.asarray(o), jnp.asarray(d), jnp.full((n,), jnp.inf), packed)
+np.save(sys.argv[1], np.stack([np.asarray(t), np.asarray(tri).astype(np.float32)]))
+"""
+    outs = {}
+    for width in ("1", "2"):
+        out = f"/tmp/walkw_{width}.npy"
+        env = dict(os.environ, CRT_WALK_WIDTH=width, JAX_PLATFORMS="cpu")
+        subprocess.run([sys.executable, "-c", code, out], check=True,
+                       env=env, cwd=os.path.dirname(os.path.dirname(
+                           os.path.abspath(__file__))))
+        outs[width] = np.load(out)
+    np.testing.assert_array_equal(outs["1"], outs["2"])
