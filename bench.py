@@ -12,6 +12,13 @@ Workloads, all on the real chip:
 - flagship parity (detail.flagship): the reference's canonical workload
   end-to-end — textured mesh + octree + path/MIS + gaussian filter +
   sensor resolve at 512x512 (RayTracerTestApp.h:70-189);
+- 872k-tri x15-scale irregular mesh (detail.mesh870) with leaf-table and
+  HBM accounting;
+- the reference's CANONICAL workload (detail.canonical): 500x500,
+  stratified 10x10 spp, 872k tris at the reference's leaf cap 40,
+  thin-lens camera, triangle filter, no-shadow Li — committed PNG +
+  CPU-golden gate (benchmarks/canonical.py);
+- 512^2 depth-8 through the public render() (detail.deep512, compacted);
 - golden gate (detail.golden_gate): the 128x128 Cornell golden config
   rendered on TPU vs the checked-in CPU golden (BASELINE.md row 3);
 - gradient consistency (detail.grad_check): inverse-rendering gradient on
@@ -19,13 +26,16 @@ Workloads, all on the real chip:
 
 Rays/s counts every traced ray: camera rays plus per-bounce continuation
 and NEE shadow rays (the standard wavefront metric); per-depth alive-ray
-fractions are reported alongside so the nominal count stays honest.
+fractions and an alive-weighted effective rays/s are reported alongside
+so the nominal count stays honest.
 A stored per-round baseline (benchmarks/baseline.json) anchors vs_baseline.
 
 env: BENCH_RES, BENCH_SPP, BENCH_PASSES, BENCH_CHUNK,
-     BENCH_MESH=0 / BENCH_FLAGSHIP=0 / BENCH_LEGACY=0 / BENCH_GOLDEN=0 /
-     BENCH_GRAD=0 to skip blocks, BENCH_MESH_SUBDIV, BENCH_MESH_RES,
-     BENCH_MESH_SPP, BENCH_MESH_CAP (octree leaf capacity).
+     BENCH_MESH=0 / BENCH_MESH870=0 / BENCH_FLAGSHIP=0 / BENCH_LEGACY=0 /
+     BENCH_CANONICAL=0 / BENCH_DEEP512=0 / BENCH_GOLDEN=0 / BENCH_GRAD=0
+     to skip blocks, BENCH_MESH_SUBDIV, BENCH_MESH_RES, BENCH_MESH_SPP,
+     BENCH_MESH_CAP / BENCH_MESH870_CAP (octree leaf capacities),
+     BENCH_CANONICAL_RES / BENCH_CANONICAL_SPP.
 """
 
 import dataclasses
