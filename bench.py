@@ -314,6 +314,70 @@ def bench_dragon870():
     }
 
 
+def bench_dragon2m():
+    """Opt-in (BENCH_MESH2M=1) 2,000,000-triangle scale probe: the same
+    irregular-mesh pipeline at 2.3x the canonical triangle count — a
+    memory/scale statement (the r4 one-triangle-per-row layout could not
+    hold this mesh: its leaf table would have been ~1.9 GB; packed rows
+    hold it in ~227 MB)."""
+    import jax
+    import jax.numpy as jnp
+    from computational_ray_tracer_tpu.models.scene import Scene
+    from computational_ray_tracer_tpu.models import integrator as integ
+    from computational_ray_tracer_tpu.ops import camera as cam
+    from computational_ray_tracer_tpu.ops import triangle as trimod
+    from computational_ray_tracer_tpu.utils import mesh_gen
+
+    res = _env("BENCH_MESH_RES", 512)
+    t0 = time.perf_counter()
+    v, f, uv = mesh_gen.dragon_stand_in(target_tris=2_000_000)
+    mesh = trimod.MeshData.build(v, f, uvs=uv)
+    scene = Scene.build(
+        materials=[{"kind": "diffuse", "albedo_rgb": (0.7, 0.64, 0.52)}],
+        lights=[{"kind": "distant", "direction": (-0.4, -1.0, 0.5),
+                 "rgb": (1.0, 1.0, 1.0), "scale": 4.0},
+                {"kind": "ambient", "spd_named": "stdillum-D65",
+                 "scale": 0.15}],
+        mesh=(mesh, jnp.zeros((mesh.n_triangles,), jnp.int32)),
+        use_octree=True, octree_capacity=160)
+    build_dt = time.perf_counter() - t0
+    camera = cam.PerspectiveCamera.create((0, 12, -52), (res, res),
+                                          fov_y=45.0, look_at=(0, -1, 0))
+    cfg = integ.RenderConfig(
+        resolution=(res, res),
+        sampler=integ.SamplerConfig(kind="sobol", spp=4),
+        integrator="direct", max_depth=1)
+    filter_obj = integ.make_filter(cfg)
+    sensor = integ.make_sensor(cfg)
+
+    @jax.jit
+    def one_pass(scene, sample_idx):
+        return integ.render_pass(scene, camera, cfg, filter_obj, sensor,
+                                 sample_idx)
+
+    t0 = time.perf_counter()
+    rgb, wt = one_pass(scene, jnp.uint32(0))
+    jax.block_until_ready((rgb, wt))
+    compile_dt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for i in range(4):
+        rgb, wt = one_pass(scene, jnp.uint32(i + 1))
+    jax.block_until_ready((rgb, wt))
+    dt = (time.perf_counter() - t0) / 4
+    pk = scene.packed_octree
+    return {
+        "n_triangles": int(mesh.n_triangles),
+        "rays_per_sec": round(res * res * 2 / dt, 1),
+        "sec_per_spp_pass": round(dt, 4),
+        "octree": scene.octree.info(),
+        "leaf_table_mb": round(int(pk.leaf_verts.size) * 4 / 2**20),
+        "hbm": _hbm_report(),
+        "scene_build_sec": round(build_dt, 1),
+        "compile_sec": round(compile_dt, 1),
+        "img_mean": round(float(jnp.mean(rgb)), 5),
+    }
+
+
 def bench_flagship(dragon_scene=None):
     """The reference's canonical end-to-end workload
     (RayTracerTestApp.h:70-189): dragon-class textured mesh + octree +
@@ -568,6 +632,8 @@ def main():
         dragon_scene, detail["mesh"] = bench_dragon()
     if os.environ.get("BENCH_MESH870", "1") != "0":
         detail["mesh870"] = bench_dragon870()
+    if os.environ.get("BENCH_MESH2M", "0") == "1":     # opt-in scale probe
+        detail["mesh2m"] = bench_dragon2m()
     if os.environ.get("BENCH_FLAGSHIP", "1") != "0":
         detail["flagship"] = bench_flagship(dragon_scene)
     if os.environ.get("BENCH_CANONICAL", "1") != "0":
