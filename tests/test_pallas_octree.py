@@ -180,3 +180,52 @@ np.save(sys.argv[1], np.stack([np.asarray(t), np.asarray(tri).astype(np.float32)
                            os.path.abspath(__file__))))
         outs[width] = np.load(out)
     np.testing.assert_array_equal(outs["1"], outs["2"])
+
+
+def test_chunk_rows_1_matches_default():
+    """CRT_CHUNK_ROWS is read at import time (pack layout and kernel must
+    agree); the non-default 1-row (8-triangle) entries are exercised in a
+    subprocess and must match the default 2-row layout bit-for-bit."""
+    import os
+    import subprocess
+    import sys
+    code = r"""
+import os, sys
+import numpy as np
+import jax, jax.numpy as jnp
+from computational_ray_tracer_tpu.ops import triangle as trimod
+from computational_ray_tracer_tpu.ops import octree as octmod
+from computational_ray_tracer_tpu.ops import pallas_octree as poct
+from computational_ray_tracer_tpu.utils import mesh_gen
+assert poct.CHUNK_ROWS == int(os.environ["CRT_CHUNK_ROWS"])
+v, f, uv = mesh_gen.displaced_icosphere(2)
+mesh = trimod.MeshData.build(v, f, uvs=uv)
+tree, packed = octmod.build_octree(mesh, capacity=24, pack=True)
+rs = np.random.RandomState(5)
+n = 1024
+o = np.tile(np.array([[0, 0.5, -3.4]], np.float32), (n, 1))
+tgt = rs.randn(n, 3).astype(np.float32) * 0.4
+d = tgt - o
+d /= np.linalg.norm(d, axis=1, keepdims=True)
+t, tri, b1, b2, _ = poct.octree_intersect_pallas(
+    jnp.asarray(o), jnp.asarray(d), jnp.full((n,), jnp.inf), packed)
+ah = poct.octree_anyhit_pallas(
+    jnp.asarray(o), jnp.asarray(d), jnp.full((n,), 2.0), packed)
+np.save(sys.argv[1], np.stack([np.asarray(t),
+                               np.asarray(tri).astype(np.float32),
+                               np.asarray(ah).astype(np.float32)]))
+"""
+    outs = {}
+    for rows in ("1", "2"):
+        out = f"/tmp/chunkrows_{rows}.npy"
+        env = dict(os.environ, CRT_CHUNK_ROWS=rows, JAX_PLATFORMS="cpu",
+                   CRT_OCTREE_CACHE="0")
+        subprocess.run([sys.executable, "-c", code, out], check=True,
+                       env=env, cwd=os.path.dirname(os.path.dirname(
+                           os.path.abspath(__file__))))
+        outs[rows] = np.load(out)
+    # hit ids and anyhit bits must agree exactly; t carries ~1-ulp
+    # variation (chunk grouping changes the in-range/fold sequencing)
+    np.testing.assert_array_equal(outs["1"][1:], outs["2"][1:])
+    np.testing.assert_allclose(outs["1"][0], outs["2"][0],
+                               rtol=1e-5, atol=1e-6)
