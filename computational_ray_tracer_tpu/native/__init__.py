@@ -4,8 +4,8 @@ The reference implements its whole runtime in C++; here the JAX/XLA/Pallas
 path owns the device compute, and the one-shot host-side runtime pieces that
 are performance-critical — the octree builder
 (Octtree_Model::CreateOcttree capability, ~100x over the NumPy builder on
-large meshes) and the OBJ mesh loader (AssetManager capability) — are C++
-compiled on first use into ``libcrt_native.so``.
+large meshes) and the OBJ/PLY mesh loaders (AssetManager capability) — are
+C++ compiled on first use into ``libcrt_native.so``.
 
 ``load()`` returns the ctypes library or None (missing toolchain), letting
 callers fall back to the NumPy implementations.
@@ -21,7 +21,8 @@ import threading
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "libcrt_native.so")
 _SRC = [os.path.join(_DIR, "octree_builder.cpp"),
-        os.path.join(_DIR, "mesh_loader.cpp")]
+        os.path.join(_DIR, "mesh_loader.cpp"),
+        os.path.join(_DIR, "ply_loader.cpp")]
 _lock = threading.Lock()
 _lib = None
 _tried = False
@@ -46,6 +47,7 @@ class CrtMesh(ctypes.Structure):
         ("n_verts", ctypes.c_int64),
         ("n_tris", ctypes.c_int64),
         ("has_normals", ctypes.c_int32),
+        ("has_uvs", ctypes.c_int32),
         ("positions", ctypes.POINTER(ctypes.c_float)),
         ("indices", ctypes.POINTER(ctypes.c_int32)),
         ("uvs", ctypes.POINTER(ctypes.c_float)),
@@ -82,6 +84,9 @@ def load():
             lib.crt_free_octree.argtypes = [ctypes.POINTER(CrtOctree)]
             lib.crt_load_obj.restype = ctypes.c_int
             lib.crt_load_obj.argtypes = [ctypes.c_char_p,
+                                         ctypes.POINTER(CrtMesh)]
+            lib.crt_load_ply.restype = ctypes.c_int
+            lib.crt_load_ply.argtypes = [ctypes.c_char_p,
                                          ctypes.POINTER(CrtMesh)]
             lib.crt_free_mesh.restype = None
             lib.crt_free_mesh.argtypes = [ctypes.POINTER(CrtMesh)]

@@ -81,6 +81,8 @@ struct CrtMesh {
     int64_t n_verts;
     int64_t n_tris;
     int32_t has_normals;
+    int32_t has_uvs;    // any texcoord data present (PLY loader semantic;
+                        // the OBJ loader always fills uvs, zeros if absent)
     float* positions;   // (n_verts, 3)
     int32_t* indices;   // (n_tris, 3)
     float* uvs;         // (n_verts, 2)
@@ -201,6 +203,7 @@ int crt_load_obj(const char* path, CrtMesh* out) {
     out->n_verts = (int64_t)pos.size() / 3;
     out->n_tris = (int64_t)idx.size() / 3;
     out->has_normals = has_normals ? 1 : 0;
+    out->has_uvs = 1;
     out->positions = (float*)malloc(pos.size() * sizeof(float));
     out->indices = (int32_t*)malloc(idx.size() * sizeof(int32_t));
     out->uvs = (float*)malloc(uv.size() * sizeof(float));

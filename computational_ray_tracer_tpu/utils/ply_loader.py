@@ -24,11 +24,51 @@ _PLY_TYPES = {
 }
 
 
-def load_ply(path):
+def load_ply(path, native=None):
     """Parse a PLY file into (positions, indices, normals, uvs).
 
-    Returns float32/int32 arrays; normals is None when the file carries no
-    nx/ny/nz properties, uvs default to zeros when no u/v (or s/t)."""
+    Returns float32/int32 arrays; normals/uvs are None when the file
+    carries no nx/ny/nz (resp. u/v or s/t) properties.
+
+    native: True forces the C++ loader (native/ply_loader.cpp), False the
+    Python parser; None (default) prefers native with Python fallback.
+    Both produce identical arrays (asserted in tests/test_native_mesh.py).
+    """
+    if native is not False:
+        out = _load_ply_native(path)
+        if out is not None:
+            return out
+        if native is True:
+            raise RuntimeError("native PLY loader unavailable")
+    return _load_ply_python(path)
+
+
+def _load_ply_native(path):
+    import ctypes
+    from computational_ray_tracer_tpu import native as nat
+    lib = nat.load()
+    if lib is None:
+        return None
+    m = nat.CrtMesh()
+    rc = lib.crt_load_ply(str(path).encode(), ctypes.byref(m))
+    if rc != 0:
+        raise ValueError(f"crt_load_ply({path}) failed rc={rc}")
+    try:
+        nv, nt = m.n_verts, m.n_tris
+        positions = (np.ctypeslib.as_array(m.positions, (nv, 3)).copy()
+                     if nv else np.zeros((0, 3), np.float32))
+        indices = (np.ctypeslib.as_array(m.indices, (nt, 3)).copy()
+                   if nt else np.zeros((0, 3), np.int32))
+        uvs = (np.ctypeslib.as_array(m.uvs, (nv, 2)).copy()
+               if (m.has_uvs and nv) else None)
+        normals = (np.ctypeslib.as_array(m.normals, (nv, 3)).copy()
+                   if (m.has_normals and nv) else None)
+    finally:
+        lib.crt_free_mesh(ctypes.byref(m))
+    return positions, indices, normals, uvs
+
+
+def _load_ply_python(path):
     with open(path, "rb") as f:
         magic = f.readline().strip()
         if magic != b"ply":
